@@ -1,0 +1,206 @@
+"""Unified configuration tree for the whole pipeline.
+
+The reference splits configuration across three systems (Hydra/OmegaConf for
+ISM, gorilla yaml for PEM, argparse for the renderer — reference
+`Instance_Segmentation_Model/configs/*`, `Pose_Estimation_Model/config/base.yaml`,
+`Render/render_custom_templates.py:9-15`). Here a single frozen-dataclass tree
+covers every stage; values default to the reference operating points.
+
+Frozen dataclasses hash by value, so configs can be static args to `jax.jit`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+# ---------------------------------------------------------------------------
+# PEM (Pose Estimation Model) — reference config/base.yaml:16-54
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """MAE-style ViT backbone (reference feature_extraction.py:50-57)."""
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    img_size: int = 224
+    out_dim: int = 256            # per-pixel feature dim after upscaling
+    use_pyramid_feat: bool = True  # concat features of 4 blocks
+    up_type: str = "linear"        # 'linear' 16x pixel-shuffle + bilinear
+
+
+@dataclass(frozen=True)
+class GeoEmbeddingConfig:
+    """GeoTransformer structure embedding (reference transformer.py:286-349)."""
+    sigma_d: float = 0.2
+    sigma_a: float = 15.0
+    angle_k: int = 3
+    reduction_a: str = "max"
+    hidden_dim: int = 256
+
+
+@dataclass(frozen=True)
+class PointMatchingConfig:
+    """Shared knobs of coarse/fine matching heads (base.yaml:32-54)."""
+    nblock: int = 3
+    input_dim: int = 256
+    hidden_dim: int = 256
+    out_dim: int = 256
+    temp: float = 0.1
+    sim_type: str = "cosine"
+    normalize_feat: bool = True
+    loss_dis_thres: float = 0.15
+    num_heads: int = 4
+    # coarse only
+    nproposal1: int = 6000
+    nproposal2: int = 300
+    # fine only
+    pe_radius1: float = 0.1
+    pe_radius2: float = 0.2
+    pe_nsample1: int = 32
+    pe_nsample2: int = 64
+    focusing_factor: int = 3
+
+
+@dataclass(frozen=True)
+class PEMConfig:
+    coarse_npoint: int = 196
+    fine_npoint: int = 2048
+    vit: ViTConfig = field(default_factory=ViTConfig)
+    geo_embedding: GeoEmbeddingConfig = field(default_factory=GeoEmbeddingConfig)
+    coarse: PointMatchingConfig = field(default_factory=PointMatchingConfig)
+    fine: PointMatchingConfig = field(default_factory=PointMatchingConfig)
+    # test-time data knobs (base.yaml:80-92)
+    img_size: int = 224
+    n_sample_observed_point: int = 2048
+    n_sample_model_point: int = 1024
+    n_sample_template_point: int = 5000
+    n_template_view: int = 42
+    seg_filter_score: float = 0.25
+    minimum_n_point: int = 8
+    rgb_mask_flag: bool = True
+    dis_thres: float = 0.15       # fine pose-score inlier threshold
+
+
+# ---------------------------------------------------------------------------
+# ISM (Instance Segmentation Model) — reference configs/model/ISM_sam.yaml
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SAMConfig:
+    """SAM ViT image encoder + AMG (reference build_sam.py:55-107,
+    configs/model/segmentor_model/sam.yaml)."""
+    model_type: str = "vit_h"
+    encoder_embed_dim: int = 1280
+    encoder_depth: int = 32
+    encoder_num_heads: int = 16
+    encoder_global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    img_size: int = 1024
+    patch_size: int = 16
+    window_size: int = 14
+    prompt_embed_dim: int = 256
+    # automatic mask generation
+    points_per_side: int = 32
+    points_per_batch: int = 64      # GPU workaround; TPU runs the whole grid
+    pred_iou_thresh: float = 0.88
+    stability_score_thresh: float = 0.85
+    stability_score_offset: float = 1.0
+    box_nms_thresh: float = 0.7
+    segmentor_width_size: int = 640  # pre-resize width (model/sam.py:107-119)
+    max_proposals: int = 512         # fixed capacity of surviving proposals
+
+
+@dataclass(frozen=True)
+class DINOv2Config:
+    """Frozen descriptor model (reference model/dinov2.py:14-19,44-87)."""
+    model_name: str = "dinov2_vitl14"
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    img_size: int = 224
+    chunk_size: int = 16
+    descriptor_width_size: int = 640
+    validity_thresh: float = 0.5    # patch validity via avgpool(mask) > 0.5
+
+
+@dataclass(frozen=True)
+class ISMMatchingConfig:
+    """Scoring config (reference configs/model/ISM_sam.yaml matching section)."""
+    aggregation_function: str = "avg_5"
+    confidence_thresh: float = 0.2
+    visible_thred: float = 0.5
+    pointcloud_sample_num: int = 2048
+
+
+@dataclass(frozen=True)
+class ISMPostProcessConfig:
+    """post_processing_config (ISM_sam.yaml): size filters + NMS."""
+    min_box_size: float = 0.05      # relative to image width
+    min_mask_size: float = 3e-4     # relative to image area
+    nms_thresh: float = 0.25
+
+
+@dataclass(frozen=True)
+class ISMConfig:
+    segmentor: str = "sam"          # 'sam' | 'fastsam'
+    sam: SAMConfig = field(default_factory=SAMConfig)
+    dinov2: DINOv2Config = field(default_factory=DINOv2Config)
+    matching: ISMMatchingConfig = field(default_factory=ISMMatchingConfig)
+    post: ISMPostProcessConfig = field(default_factory=ISMPostProcessConfig)
+    template_level: int = 0         # 42 views
+    max_detections: int = 64        # fixed capacity after scoring/NMS
+
+
+# ---------------------------------------------------------------------------
+# Training (reference config/base.yaml:3-13, 58-77, 102-105)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+    max_iters: int = 600_000
+    warmup_iters: int = 1000
+    warmup_factor: float = 1e-3
+    batch_size: int = 28
+    epochs: int = 15
+    loss_clamp: float = 100.0
+    seed: int = 1
+    log_every: int = 50
+    checkpoint_every: int = 10_000
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Offline template rendering (reference Render/render_custom_templates.py)."""
+    n_views: int = 42
+    template_level: int = 0
+    image_size: int = 420
+    normalize_to_unit_sphere: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config."""
+    ism: ISMConfig = field(default_factory=ISMConfig)
+    pem: PEMConfig = field(default_factory=PEMConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    dtype: str = "float32"          # compute dtype for model forward passes
+
+    replace = _replace
+
+
+def default_config() -> Config:
+    return Config()

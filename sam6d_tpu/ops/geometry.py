@@ -1,0 +1,197 @@
+"""Batched rigid-geometry primitives (pure XLA, TPU-friendly).
+
+Behavior parity with reference `Pose_Estimation_Model/utils/model_utils.py`
+(pairwise_distance :84-111, weighted_procrustes :287-363) — re-designed as
+pure functions over fixed shapes, with a hand-rolled batched 3x3 SVD
+(two-sided Jacobi) that vectorizes over thousands of pose hypotheses on the
+VPU instead of calling a LAPACK-style solver per matrix.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Squared pairwise distances. x: (..., N, C), y: (..., M, C) -> (..., N, M).
+
+    Matches reference pairwise_distance (model_utils.py:84-111): expanded
+    x2 - 2xy + y2 with clamp at 0.
+    """
+    xy = jnp.einsum("...nc,...mc->...nm", x, y)
+    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
+    y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+    return jnp.maximum(x2 - 2.0 * xy + y2, 0.0)
+
+
+def pairwise_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(pairwise_sq_distance(x, y))
+
+
+# ---------------------------------------------------------------------------
+# Batched symmetric 3x3 eigendecomposition + SVD via Jacobi sweeps.
+# All steps are elementwise/small-matmul ops that vmap/batch trivially, so a
+# (B*6000, 3, 3) SVD runs as a handful of fused VPU loops rather than 6000
+# sequential host-dispatched factorizations.
+# ---------------------------------------------------------------------------
+
+_JACOBI_SWEEPS = 8  # (p,q) cycles; 3x3 symmetric converges quadratically
+
+
+def _jacobi_rotation(app, aqq, apq):
+    """Stable Jacobi rotation (c, s) zeroing A[p,q]."""
+    tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    return c, s
+
+
+def _apply_jacobi(A, V, p, q):
+    """One Jacobi rotation on index pair (p, q) for batched A (..., 3, 3)."""
+    c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q])
+    # Build batched rotation via explicit row updates (p, q static ints).
+    c_ = c[..., None]
+    s_ = s[..., None]
+    Ap = A[..., p, :]
+    Aq = A[..., q, :]
+    A = A.at[..., p, :].set(c_ * Ap - s_ * Aq)
+    A = A.at[..., q, :].set(s_ * Ap + c_ * Aq)
+    Ap = A[..., :, p]
+    Aq = A[..., :, q]
+    A = A.at[..., :, p].set(c_ * Ap - s_ * Aq)
+    A = A.at[..., :, q].set(s_ * Ap + c_ * Aq)
+    Vp = V[..., :, p]
+    Vq = V[..., :, q]
+    V = V.at[..., :, p].set(c_ * Vp - s_ * Vq)
+    V = V.at[..., :, q].set(s_ * Vp + c_ * Vq)
+    return A, V
+
+
+def symeig3x3(A: jnp.ndarray):
+    """Batched eigendecomposition of symmetric (..., 3, 3) via cyclic Jacobi.
+
+    Returns (eigvals (..., 3) ascending, eigvecs (..., 3, 3) columns).
+    """
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    for _ in range(_JACOBI_SWEEPS):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            A, V = _apply_jacobi(A, V, p, q)
+    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def svd3x3(H: jnp.ndarray):
+    """Batched SVD of (..., 3, 3): H = U diag(S) V^T, S descending.
+
+    Via eigendecomposition of H^T H (right vectors), U from H V / S with
+    a fallback orthonormal completion for (near-)rank-deficient H.
+    """
+    HtH = jnp.einsum("...ji,...jk->...ik", H, H)
+    w, V = symeig3x3(HtH)
+    # descending order
+    w = w[..., ::-1]
+    V = V[..., :, ::-1]
+    S = jnp.sqrt(jnp.maximum(w, 0.0))
+    W = jnp.einsum("...ij,...jk->...ik", H, V)  # columns are s_i * u_i
+    scale = jnp.maximum(S[..., 0:1], 1e-12)  # largest singular value
+
+    def _normalize_or(col, fallback, tol):
+        n = jnp.linalg.norm(col, axis=-1, keepdims=True)
+        ok = n > tol
+        return jnp.where(ok, col / jnp.maximum(n, 1e-30), fallback)
+
+    e0 = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], H.dtype), W[..., :, 0].shape)
+    u0 = _normalize_or(W[..., :, 0], e0, 1e-12)
+    # fallback for u1: any unit vector orthogonal to u0
+    alt = jnp.cross(u0, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], H.dtype), u0.shape))
+    altn = jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    alt2 = jnp.cross(u0, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], H.dtype), u0.shape))
+    alt = jnp.where(altn > 1e-6, alt, alt2)
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), 1e-30)
+    w1 = W[..., :, 1]
+    w1 = w1 - jnp.sum(u0 * w1, axis=-1, keepdims=True) * u0
+    u1 = _normalize_or(w1, alt, 1e-6 * scale)
+    # u2: keep the true direction (preserves sign/det) unless s2 is negligible,
+    # in which case the cross-product completion is exact up to sign and the
+    # sign contributes nothing to the reconstruction.
+    w2 = W[..., :, 2]
+    w2 = w2 - jnp.sum(u0 * w2, axis=-1, keepdims=True) * u0
+    w2 = w2 - jnp.sum(u1 * w2, axis=-1, keepdims=True) * u1
+    u2 = _normalize_or(w2, jnp.cross(u0, u1), 1e-5 * scale)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, S, V
+
+
+def weighted_procrustes(
+    src_points: jnp.ndarray,
+    ref_points: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    weight_thresh: float = 0.0,
+    eps: float = 1e-5,
+):
+    """Weighted Kabsch: rigid (R, t) with ref ~= src @ R^T + t.
+
+    src_points, ref_points: (..., N, 3); weights: (..., N) or None.
+    Matches reference weighted_procrustes (model_utils.py:287-363):
+    H = src_c^T (w * ref_c);  R = V diag(1,1,det) U^T;  t = ref_c0 - R src_c0.
+    """
+    if weights is None:
+        weights = jnp.ones(src_points.shape[:-1], dtype=src_points.dtype)
+    weights = jnp.where(weights < weight_thresh, 0.0, weights)
+    weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + eps)
+    w = weights[..., None]
+
+    src_centroid = jnp.sum(src_points * w, axis=-2, keepdims=True)
+    ref_centroid = jnp.sum(ref_points * w, axis=-2, keepdims=True)
+    src_c = src_points - src_centroid
+    ref_c = ref_points - ref_centroid
+
+    H = jnp.einsum("...nc,...nd->...cd", src_c, w * ref_c)
+    U, _, V = svd3x3(H)
+    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", V, U))
+    D = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
+        axis=-1,
+    )
+    R = jnp.einsum("...ic,...c,...jc->...ij", V, D, U)
+    t = ref_centroid[..., 0, :] - jnp.einsum("...ij,...j->...i", R, src_centroid[..., 0, :])
+    return R, t
+
+
+def rotation_from_euler_zyx(a1, a2, a3):
+    """Composition Rz(a1) @ Rx(a2) @ Ry(a3) used by aug_pose_noise
+    (model_utils.py:150-172). Angles in radians, batched (...,)."""
+    c1, s1 = jnp.cos(a1), jnp.sin(a1)
+    c2, s2 = jnp.cos(a2), jnp.sin(a2)
+    c3, s3 = jnp.cos(a3), jnp.sin(a3)
+    z = jnp.zeros_like(a1)
+    o = jnp.ones_like(a1)
+    Rz = jnp.stack([jnp.stack([c1, -s1, z], -1),
+                    jnp.stack([s1, c1, z], -1),
+                    jnp.stack([z, z, o], -1)], -2)
+    Rx = jnp.stack([jnp.stack([o, z, z], -1),
+                    jnp.stack([z, c2, -s2], -1),
+                    jnp.stack([z, s2, c2], -1)], -2)
+    Ry = jnp.stack([jnp.stack([c3, z, s3], -1),
+                    jnp.stack([z, o, z], -1),
+                    jnp.stack([-s3, z, c3], -1)], -2)
+    return Rz @ Rx @ Ry
+
+
+def transform_points(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
+    """Apply model->camera pose: p_cam = p_model @ R^T + t.
+
+    points (..., N, 3), R (..., 3, 3), t (..., 3).
+    """
+    return jnp.einsum("...nj,...ij->...ni", points, R) + t[..., None, :]
+
+
+def inverse_transform_points(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
+    """Camera->model: (p - t) @ R  (row-vector convention of the reference)."""
+    return jnp.einsum("...nj,...ji->...ni", points - t[..., None, :], R)

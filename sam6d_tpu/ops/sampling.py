@@ -1,0 +1,105 @@
+"""Point sampling ops: farthest-point sampling and weighted multinomial.
+
+TPU-native replacements for the reference CUDA pointnet2 extension
+(`Pose_Estimation_Model/model/pointnet2/_ext_src/src/sampling_gpu.cu:73-120`)
+and the searchsorted-based hypothesis sampler (`utils/model_utils.py:216-222`).
+
+FPS is inherently sequential over the M selected points but parallel over the
+N candidates; here the selection loop is a `lax.fori_loop` whose body is one
+fused distance-update + argmax over N — the same schedule the CUDA kernel
+uses across its thread block, expressed for the VPU. A Pallas variant lives in
+`sam6d_tpu.kernels.fps` for large N.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample(
+    points: jnp.ndarray,
+    npoint: int,
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Iterative farthest-point sampling.
+
+    points: (B, N, 3); valid_mask: optional (B, N) bool — padded points are
+    never selected and never attract selection. Returns int32 indices
+    (B, npoint). Selection starts at index 0, matching the reference CUDA
+    kernel (sampling_gpu.cu: `idxs[0] = 0`).
+    """
+    B, N, _ = points.shape
+    if valid_mask is None:
+        valid = jnp.ones((B, N), dtype=bool)
+    else:
+        valid = valid_mask
+    # first valid index per batch (reference always starts at 0; with padding
+    # we start at the first valid point)
+    first = jnp.argmax(valid, axis=1).astype(jnp.int32)
+
+    big = jnp.asarray(1e10, points.dtype)
+    neg = jnp.asarray(-1.0, points.dtype)
+
+    def body(i, carry):
+        mindist, idxs, last = carry
+        last_pt = jnp.take_along_axis(points, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((points - last_pt) ** 2, axis=-1)  # (B, N)
+        mindist = jnp.minimum(mindist, d)
+        scored = jnp.where(valid, mindist, neg)
+        nxt = jnp.argmax(scored, axis=1).astype(jnp.int32)
+        idxs = idxs.at[:, i].set(nxt)
+        return mindist, idxs, nxt
+
+    idxs = jnp.zeros((B, npoint), dtype=jnp.int32)
+    idxs = idxs.at[:, 0].set(first)
+    mindist = jnp.full((B, N), big, dtype=points.dtype)
+    _, idxs, _ = jax.lax.fori_loop(1, npoint, body, (mindist, idxs, first))
+    return idxs
+
+
+def gather_points(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows: x (B, N, C), idx (B, M) int -> (B, M, C).
+
+    Replaces reference `gather_operation` (sampling_gpu.cu:13-62) — on TPU a
+    plain take_along_axis lowers to an efficient dynamic-gather.
+    """
+    return jnp.take_along_axis(x, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def sample_pts_feats(pts, feats, npoint: int, valid_mask=None):
+    """FPS + gather of points and features (reference model_utils.py:53-66)."""
+    idx = farthest_point_sample(pts, npoint, valid_mask)
+    return gather_points(pts, idx), gather_points(feats, idx), idx
+
+
+def multinomial_from_weights(key: jax.Array, weights: jnp.ndarray, num: int):
+    """Sample `num` indices per batch proportional to `weights` (B, N) via
+    inverse-CDF (cumsum + searchsorted), the same scheme as the reference
+    hypothesis sampler (model_utils.py:216-222). Returns (B, num) int32.
+    """
+    cdf = jnp.cumsum(weights, axis=-1)
+    cdf = cdf / (cdf[..., -1:] + 1e-8)
+    B = weights.shape[0]
+    u = jax.random.uniform(key, (B, num), dtype=weights.dtype)
+    idx = jax.vmap(lambda c, r: jnp.searchsorted(c, r))(cdf, u)
+    return jnp.minimum(idx, weights.shape[-1] - 1).astype(jnp.int32)
+
+
+def random_choice_fixed(key: jax.Array, n_valid: jnp.ndarray, capacity: int, num: int):
+    """Choose `num` indices out of the first `n_valid` entries of a
+    fixed-capacity buffer: without replacement when n_valid >= num, with
+    replacement otherwise (matching np.random.choice usage in the reference
+    data path, run_inference_custom.py:223-227 — here device-side).
+    Returns (num,) int32 indices in [0, n_valid).
+    """
+    # random priorities over the capacity; invalid slots get -inf priority
+    pri = jax.random.uniform(key, (capacity,))
+    iota = jnp.arange(capacity)
+    pri = jnp.where(iota < n_valid, pri, -jnp.inf)
+    order = jnp.argsort(-pri)  # valid slots first, random order
+    take = jnp.minimum(jnp.maximum(n_valid, 1), capacity)
+    wrapped = order[jnp.arange(num) % take]  # with replacement ≈ cycling
+    return wrapped.astype(jnp.int32)
