@@ -1,0 +1,103 @@
+"""Fine point matching head (reference model/fine_point_matching.py).
+
+Dense 2048(+bg)-token matching with sparse-to-dense transformers and a
+multi-scale ball-query positional encoding. Pure module: returns similarity
+matrices; solvers/losses applied outside.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .geo_transformer import SparseToDenseTransformer
+from .coarse_matching import cosine_similarity_matrix
+from ..ops.ball_query import query_and_group
+
+
+class SharedMLP(nn.Module):
+    """Conv2d(1x1)+BN+ReLU stack over (B, M, S, C) grouped features
+    (reference pytorch_utils.SharedMLP — BN in eval mode folds to scale+bias)."""
+    channels: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class PositionalEncoding(nn.Module):
+    """Two-scale ball-query PE (reference fine_point_matching.py:90-125):
+    QueryAndGroup(r1, 32) and (r2, 64) with [rel_xyz, abs_xyz] channels,
+    SharedMLP [6,32,64,128] each, max over samples, concat -> Dense 256."""
+    out_dim: int = 256
+    r1: float = 0.1
+    r2: float = 0.2
+    nsample1: int = 32
+    nsample2: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts, train: bool = False):
+        g1 = query_and_group(self.r1, self.nsample1, pts, pts, pts)  # (B,N,S,6)
+        f1 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp1")(g1, train)
+        f1 = jnp.max(f1, axis=2)
+        g2 = query_and_group(self.r2, self.nsample2, pts, pts, pts)
+        f2 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp2")(g2, train)
+        f2 = jnp.max(f2, axis=2)
+        f = jnp.concatenate([f1, f2], axis=-1)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="mlp3")(f)
+
+
+class FinePointMatching(nn.Module):
+    nblock: int = 3
+    input_dim: int = 256
+    hidden_dim: int = 256
+    out_dim: int = 256
+    num_heads: int = 4
+    temp: float = 0.1
+    normalize_feat: bool = True
+    focusing_factor: int = 3
+    pe_radius1: float = 0.1
+    pe_radius2: float = 0.2
+    pe_nsample1: int = 32
+    pe_nsample2: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p1_init, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
+                 all_blocks: bool = False, train: bool = False):
+        """p1_init: (B, N1, 3) observed points already transformed by the
+        init pose ((p1 - init_t) @ init_R, reference :44); f1/f2 dense feats
+        (B, N, input_dim); geo*: (B, S+1, S+1, C) sparse embeddings.
+        Returns list of (B, N1+1, N2+1) similarity matrices.
+        """
+        B = f1.shape[0]
+        in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(self.out_dim, dtype=self.dtype, name="out_proj")
+        pe = PositionalEncoding(self.hidden_dim, self.pe_radius1, self.pe_radius2,
+                                self.pe_nsample1, self.pe_nsample2,
+                                dtype=self.dtype, name="PE")
+        bg = self.param("bg_token", nn.initializers.normal(0.02),
+                        (1, 1, self.hidden_dim))
+        bg_b = jnp.broadcast_to(bg, (B, 1, self.hidden_dim)).astype(f1.dtype)
+
+        f1 = in_proj(f1) + pe(p1_init, train)
+        f1 = jnp.concatenate([bg_b, f1], axis=1)
+        f2 = in_proj(f2) + pe(p2, train)
+        f2 = jnp.concatenate([bg_b, f2], axis=1)
+
+        attens = []
+        for i in range(self.nblock):
+            f1, f2 = SparseToDenseTransformer(
+                self.hidden_dim, self.num_heads, self.focusing_factor,
+                dtype=self.dtype, name=f"transformers_{i}")(
+                f1, geo1, fps_idx1, f2, geo2, fps_idx2)
+            if all_blocks or i == self.nblock - 1:
+                attens.append(cosine_similarity_matrix(
+                    out_proj(f1), out_proj(f2), self.temp, self.normalize_feat))
+        return attens

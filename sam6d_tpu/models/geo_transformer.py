@@ -1,0 +1,272 @@
+"""Geometric transformer stack for point matching (flax.linen).
+
+Behavior parity with reference `Pose_Estimation_Model/model/transformer.py`:
+- GeometricStructureEmbedding (:286-349): pairwise-distance + k-wedge-angle
+  sinusoids, projected and max-reduced.
+- RPE self-attention (:352-406): score = (q·k + q·p)/sqrt(dh).
+- vanilla cross-attention (:93-148), post-LN residual + 2x-expand ReLU FFN
+  (AttentionOutput :182-197).
+- focused linear attention (:518-564) kept in its O(N) two-einsum form —
+  two MXU matmuls instead of an N^2 attention matrix.
+- SparseToDenseTransformer (:613-673): sparse geometric attention on FPS
+  tokens, propagated to dense tokens by linear attention.
+
+TPU notes: the RPE bias einsum `bhnc,bhnmc->bhnm` over the materialized
+(B,N,N,C) embedding is the reference formulation; N=197 keeps it tiny. All
+shapes static; bg-token concat is a fixed +1.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.embedding import sinusoidal_embedding, geometric_embedding_indices
+
+
+class GeometricStructureEmbedding(nn.Module):
+    hidden_dim: int = 256
+    sigma_d: float = 0.2
+    sigma_a: float = 15.0
+    angle_k: int = 3
+    reduction_a: str = "max"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points):
+        """points: (B, N, 3) -> (B, N, N, hidden_dim)."""
+        d_idx, a_idx = geometric_embedding_indices(
+            points, self.sigma_d, self.sigma_a, self.angle_k
+        )
+        d_emb = sinusoidal_embedding(d_idx, self.hidden_dim)
+        d_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")(d_emb)
+        a_emb = sinusoidal_embedding(a_idx, self.hidden_dim)
+        a_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")(a_emb)
+        if self.reduction_a == "max":
+            a_emb = jnp.max(a_emb, axis=3)
+        else:
+            a_emb = jnp.mean(a_emb, axis=3)
+        return d_emb + a_emb
+
+
+class AttentionOutput(nn.Module):
+    """Post-LN FFN: expand 2x, ReLU, squeeze, residual, LayerNorm."""
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + h)
+
+
+class MultiHeadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        H = self.num_heads
+        dh = self.d_model // H
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = q.reshape(B, N, H, dh)
+        k = k.reshape(B, M, H, dh)
+        v = v.reshape(B, M, H, dh)
+        scores = jnp.einsum("bnhc,bmhc->bhnm", q, k) / jnp.sqrt(dh).astype(q.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v).reshape(B, N, self.d_model)
+        return out
+
+
+class RPEMultiHeadAttention(nn.Module):
+    """Self-attention with additive relative positional score q·proj_p(embed)."""
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, embed_qk):
+        H = self.num_heads
+        dh = self.d_model // H
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(embed_qk)
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = q.reshape(B, N, H, dh)
+        k = k.reshape(B, M, H, dh)
+        v = v.reshape(B, M, H, dh)
+        p = p.reshape(B, N, M, H, dh)
+        scores_e = jnp.einsum("bnhc,bmhc->bhnm", q, k)
+        scores_p = jnp.einsum("bnhc,bnmhc->bhnm", q, p)
+        scores = (scores_e + scores_p) / jnp.sqrt(dh).astype(q.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v).reshape(B, N, self.d_model)
+        return out
+
+
+class AttentionLayer(nn.Module):
+    """attention -> linear -> residual -> LayerNorm (post-LN)."""
+    d_model: int
+    num_heads: int
+    rpe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, embed=None):
+        if self.rpe:
+            h = RPEMultiHeadAttention(self.d_model, self.num_heads,
+                                      dtype=self.dtype, name="attention")(
+                x, memory, memory, embed)
+        else:
+            h = MultiHeadAttention(self.d_model, self.num_heads,
+                                   dtype=self.dtype, name="attention")(
+                x, memory, memory)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+
+
+class TransformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    rpe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, embed=None):
+        h = AttentionLayer(self.d_model, self.num_heads, rpe=self.rpe,
+                           dtype=self.dtype, name="attention")(x, memory, embed)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(h)
+
+
+class GeometricTransformer(nn.Module):
+    """['self', 'cross'] block pair: RPE self-attention on each cloud, then
+    vanilla cross-attention between clouds (reference :469-513)."""
+    d_model: int
+    num_heads: int
+    blocks: Tuple[str, ...] = ("self", "cross")
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f0, e0, f1, e1):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = TransformerLayer(self.d_model, self.num_heads, rpe=True,
+                                         dtype=self.dtype, name=f"layers_{i}")
+                f0 = layer(f0, f0, e0)
+                f1 = layer(f1, f1, e1)
+            else:
+                layer = TransformerLayer(self.d_model, self.num_heads, rpe=False,
+                                         dtype=self.dtype, name=f"layers_{i}")
+                # sequential (parallel=False, the reference default): cloud 1
+                # attends to the ALREADY-UPDATED cloud 0 (transformer.py:505-507)
+                f0 = layer(f0, f1)
+                f1 = layer(f1, f0)
+        return f0, f1
+
+
+class FocusedLinearAttention(nn.Module):
+    """Focused linear attention (Flatten-Transformer), O(N) two-einsum form
+    (reference :518-564): ReLU kernel, learnable softplus scale, focusing
+    power, norm restoration."""
+    d_model: int
+    num_heads: int
+    focusing_factor: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        scale_param = self.param("scale", nn.initializers.zeros, (1, 1, self.d_model))
+        scale = jax.nn.softplus(scale_param).astype(q.dtype)
+
+        q = nn.relu(q) + 1e-6
+        k = nn.relu(k) + 1e-6
+        q = q / scale
+        k = k / scale
+        q_norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        k_norm = jnp.linalg.norm(k, axis=-1, keepdims=True)
+        q = q ** self.focusing_factor
+        k = k ** self.focusing_factor
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * q_norm
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * k_norm
+
+        H = self.num_heads
+        dh = self.d_model // H
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = q.reshape(B, N, H, dh)
+        k = k.reshape(B, M, H, dh)
+        v = v.reshape(B, M, H, dh)
+        # z_i = 1 / (q_i · sum_j k_j); out_i = q_i (K^T V) z_i — two matmuls.
+        ksum = jnp.sum(k, axis=1)  # (B, H, dh)
+        z = 1.0 / (jnp.einsum("bnhc,bhc->bnh", q, ksum) + 1e-6)
+        kv = jnp.einsum("bmhc,bmhd->bhcd", k, v)
+        out = jnp.einsum("bnhc,bhcd,bnh->bnhd", q, kv, z)
+        return out.reshape(B, N, self.d_model)
+
+
+class LinearTransformerLayer(nn.Module):
+    """linear attention -> linear -> post-LN residual -> FFN (reference
+    :567-608)."""
+    d_model: int
+    num_heads: int
+    focusing_factor: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory):
+        h = FocusedLinearAttention(self.d_model, self.num_heads,
+                                   self.focusing_factor, dtype=self.dtype,
+                                   name="attention")(x, memory, memory)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(h)
+
+
+class SparseToDenseTransformer(nn.Module):
+    """Gather FPS tokens (+bg), run geometric attention on the sparse set,
+    then propagate sparse -> dense via linear attention (reference :613-673,
+    with with_bg_token=True, replace_bg_token=True)."""
+    d_model: int
+    num_heads: int = 4
+    focusing_factor: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    def _sample(self, dense, fps_idx):
+        bg = dense[:, 0:1, :]
+        # NOTE reference quirk (transformer.py:651-658): fps_idx was computed
+        # on the bg-LESS 2048-point cloud, but _sample_feats gathers from the
+        # bg-PREPENDED 2049-token tensor with those same indices — an
+        # off-by-one the released weights were trained with. Replicated
+        # exactly: gather from the full tensor at fps_idx.
+        body = jnp.take_along_axis(dense, fps_idx[..., None].astype(jnp.int32), axis=1)
+        return jnp.concatenate([bg, body], axis=1)
+
+    @nn.compact
+    def __call__(self, dense0, e0, fps_idx0, dense1, e1, fps_idx1):
+        f0 = self._sample(dense0, fps_idx0)
+        f1 = self._sample(dense1, fps_idx1)
+        f0, f1 = GeometricTransformer(self.d_model, self.num_heads,
+                                      dtype=self.dtype, name="sparse_layer")(
+            f0, e0, f1, e1)
+        dense_layer = LinearTransformerLayer(self.d_model, self.num_heads,
+                                             self.focusing_factor,
+                                             dtype=self.dtype, name="dense_layer")
+        d0 = dense_layer(dense0[:, 1:, :], f0[:, 1:, :])
+        d0 = jnp.concatenate([f0[:, 0:1, :], d0], axis=1)
+        d1 = dense_layer(dense1[:, 1:, :], f1[:, 1:, :])
+        d1 = jnp.concatenate([f1[:, 0:1, :], d1], axis=1)
+        return d0, d1

@@ -1,0 +1,181 @@
+"""MAE/timm-style ViT backbone in flax.linen, channels-last.
+
+Behavior parity with the reference PEM feature extractor
+(`Pose_Estimation_Model/model/feature_extraction.py:17-117`): a timm
+VisionTransformer (patch 16, pre-LN blocks, qkv-bias) whose forward returns
+the final-norm-projected outputs of 4 pyramid blocks, plus the linear
+pixel-shuffle upscaling head (768*4 -> 16*256 -> 56x56 -> bilinear 224x224).
+
+TPU notes: tokens stay (B, 197, C); attention is one fused einsum chain that
+XLA maps onto the MXU (197-token sequences don't need flash attention);
+the upscale head is a single matmul + reshape (no deconvs).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(x.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
+                         dtype=self.dtype, name="mlp")(y)
+        return x
+
+
+class ViT(nn.Module):
+    """timm-style ViT returning pyramid features.
+
+    Output: list of `len(pyramid_indices)` tensors (B, 1+N, C), each passed
+    through the final norm — matching reference ViT.forward
+    (feature_extraction.py:21-35) with idx_nblock = [d-1-3n, d-1-2n, d-1-n, d-1].
+    """
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    def pyramid_indices(self) -> Sequence[int]:
+        d, n = self.depth, self.depth // 4
+        return sorted([d - 1, d - n - 1, d - 2 * n - 1, d - 3 * n - 1])
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) -> list of 4 (B, 1+N, C) normed features."""
+        B = x.shape[0]
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(B, -1, self.embed_dim)  # (B, N, C)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.embed_dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + self.grid * self.grid, self.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        x = x + pos.astype(x.dtype)
+
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        keep = set(self.pyramid_indices())
+        outs = []
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                      dtype=self.dtype, name=f"blocks_{i}")(x)
+            if i in keep:
+                outs.append(final_norm(x))
+        return outs
+
+
+class ViTPixelDecoder(nn.Module):
+    """Linear pixel-shuffle upscaling head (reference ViT_AE 'linear' branch,
+    feature_extraction.py:66-67,109-112): concat 4 pyramid levels ->
+    Linear(4C -> 16*out_dim) -> 4x4 shuffle to 56x56 -> bilinear to HxW."""
+    embed_dim: int = 768
+    out_dim: int = 256
+    use_pyramid_feat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pyramid, out_hw):
+        """pyramid: list of (B, N, C) patch tokens (no cls); out_hw: (H, W)."""
+        if self.use_pyramid_feat:
+            x = jnp.concatenate(pyramid, axis=2)
+        else:
+            x = pyramid[-1]
+        B, N, _ = x.shape
+        g = int(round(N ** 0.5))
+        x = nn.Dense(16 * self.out_dim, dtype=self.dtype, name="output_upscaling")(x)
+        x = x.reshape(B, g, g, 4, 4, self.out_dim)
+        # (B, h14, w14, a4, b4, C) -> (B, h14, a4, w14, b4, C) -> (B, 4g, 4g, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * g, 4 * g, self.out_dim)
+        H, W = out_hw
+        x = jax.image.resize(x, (B, H, W, self.out_dim), method="bilinear")
+        return x
+
+
+class ViTEncoder(nn.Module):
+    """Full per-pixel feature extractor: ViT pyramid + linear decoder.
+
+    Returns ((B, H, W, out_dim) feature map, (B, C) cls tokens) — the
+    functional equivalent of reference ViT_AE.forward (:98-117).
+    """
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_dim: int = 256
+    use_pyramid_feat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = x.shape[1], x.shape[2]
+        outs = ViT(self.img_size, self.patch_size, self.embed_dim, self.depth,
+                   self.num_heads, self.mlp_ratio, dtype=self.dtype, name="vit")(x)
+        cls_tokens = outs[-1][:, 0, :]
+        patch = [o[:, 1:, :] for o in outs]
+        fmap = ViTPixelDecoder(self.embed_dim, self.out_dim,
+                               self.use_pyramid_feat, dtype=self.dtype,
+                               name="decoder")(patch, (H, W))
+        return fmap, cls_tokens
+
+
+def gather_pixel_feats(fmap: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
+    """fmap: (B, H, W, C); choose: (B, M) flat row-major pixel indices ->
+    (B, M, C). Reference get_chosen_pixel_feats (model_utils.py:69-81)."""
+    B, H, W, C = fmap.shape
+    flat = fmap.reshape(B, H * W, C)
+    return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
