@@ -1,0 +1,169 @@
+"""Mask utilities: RLE codecs (host), boxes, IoU, fixed-capacity NMS.
+
+Parity targets:
+- `Instance_Segmentation_Model/model/utils.py` mask_to_rle (:25-43) — BOP
+  Fortran-order uncompressed counts.
+- pycocotools-compatible compressed RLE strings (the ISM→PEM json boundary,
+  `run_inference_custom.py:199-203`) — implemented natively since pycocotools
+  is not a dependency.
+- compute_iou (`utils/bbox_utils.py:197-222`), per-object NMS
+  (`model/utils.py:107-119`) — the NMS here is a fixed-capacity masked
+  formulation that jits (no data-dependent survivor counts).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------------------ RLE host
+
+def mask_to_rle_counts(mask: np.ndarray) -> Dict:
+    """Binary (H, W) -> {'counts': [...], 'size': [H, W]} in Fortran order,
+    starting with the zero-run (BOP json format; reference model/utils.py:25-43).
+    """
+    flat = np.asarray(mask, bool).flatten(order="F")
+    # run-length encode with leading zero-count
+    diffs = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.concatenate([[0], diffs, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0]:
+        counts = [0] + counts
+    return {"counts": counts, "size": list(mask.shape)}
+
+
+def rle_counts_to_mask(rle: Dict) -> np.ndarray:
+    """Inverse of mask_to_rle_counts (reference data_utils.py:72-89)."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        if val:
+            flat[pos:pos + c] = True
+        pos += c
+        val = not val
+    return flat.reshape((h, w), order="F")
+
+
+def rle_encode_coco(mask: np.ndarray) -> Dict:
+    """Binary (H, W) -> COCO compressed RLE {'counts': str, 'size': [H, W]}
+    (pycocotools LEB128-variant; 5 bits/char, +48, delta for i>2)."""
+    rle = mask_to_rle_counts(mask)
+    cnts = rle["counts"]
+    out = []
+    for i, x in enumerate(cnts):
+        if i > 2:
+            x -= cnts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return {"counts": "".join(out), "size": rle["size"]}
+
+
+def rle_decode_coco(rle: Dict) -> np.ndarray:
+    """Decode COCO RLE: compressed string or uncompressed counts list."""
+    counts = rle["counts"]
+    if isinstance(counts, (list, tuple)):
+        return rle_counts_to_mask(rle)
+    if isinstance(counts, bytes):
+        counts = counts.decode("ascii")
+    cnts: List[int] = []
+    i = 0
+    while i < len(counts):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(counts[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k + 5)
+            k += 1
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return rle_counts_to_mask({"counts": cnts, "size": rle["size"]})
+
+
+# ------------------------------------------------------------- device masked
+
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) binary -> (N, 4) xyxy boxes; empty masks -> zeros
+    (reference amg.batched_mask_to_box semantics)."""
+    N, H, W = masks.shape
+    m = masks > 0
+    any_row = jnp.any(m, axis=2)  # (N, H)
+    any_col = jnp.any(m, axis=1)  # (N, W)
+    rows = jnp.arange(H)
+    cols = jnp.arange(W)
+    y1 = jnp.min(jnp.where(any_row, rows, H), axis=1)
+    y2 = jnp.max(jnp.where(any_row, rows, -1), axis=1)
+    x1 = jnp.min(jnp.where(any_col, cols, W), axis=1)
+    x2 = jnp.max(jnp.where(any_col, cols, -1), axis=1)
+    empty = ~jnp.any(any_row, axis=1)
+    box = jnp.stack([x1, y1, x2 + 1, y2 + 1], axis=1).astype(jnp.float32)
+    return jnp.where(empty[:, None], 0.0, box)
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU (reference bbox_utils.compute_iou)."""
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+def mask_iou_matrix(masks: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) binary -> (N, N) mask IoU (used by per-object NMS)."""
+    m = (masks > 0).astype(jnp.float32).reshape(masks.shape[0], -1)
+    inter = m @ m.T
+    area = jnp.sum(m, axis=1)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+@partial(jax.jit, static_argnames=())
+def nms_masked(
+    iou: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    same_group: jnp.ndarray,
+    thresh: float,
+) -> jnp.ndarray:
+    """Greedy NMS over a fixed-capacity set, returning a keep mask.
+
+    iou: (N, N) pairwise overlap; same_group: (N, N) bool (e.g. same
+    object id — reference applies NMS per object id, model/utils.py:107-119).
+    Exactly reproduces sequential greedy NMS via a fori_loop over the
+    score-ordered slots; invalid slots are never kept.
+    """
+    N = scores.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+
+    def body(i, keep):
+        cand = order[i]
+        # suppressed if any higher-scored kept detection in same group overlaps
+        overlap = (iou[cand] > thresh) & same_group[cand] & keep
+        ok = valid[cand] & ~jnp.any(overlap)
+        return keep.at[cand].set(ok)
+
+    keep = jnp.zeros((N,), bool)
+    return jax.lax.fori_loop(0, N, body, keep)

@@ -1,0 +1,87 @@
+"""End-to-end PEM pipeline plumbing test on the committed demo example,
+with synthesized templates + detections (no released weights available in
+this environment, so poses are not asserted — solver accuracy is covered by
+test_solvers.py; this validates the full data path and output format)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sam6d_tpu.core.config import PEMConfig, ViTConfig, PointMatchingConfig, GeoEmbeddingConfig
+from sam6d_tpu.pipelines.pem import run_demo_pem, _bucket
+from sam6d_tpu.ops.masks import rle_encode_coco
+from sam6d_tpu.data.mesh import load_ply
+
+EXAMPLE = "/root/reference/SAM-6D/Data/Example"
+
+
+def tiny_pem_cfg():
+    return PEMConfig(
+        coarse_npoint=24, fine_npoint=96,
+        vit=ViTConfig(patch_size=16, embed_dim=64, depth=4, num_heads=4,
+                      img_size=64, out_dim=32),
+        geo_embedding=GeoEmbeddingConfig(hidden_dim=32),
+        coarse=PointMatchingConfig(nblock=1, input_dim=32, hidden_dim=32,
+                                   out_dim=32, nproposal1=120, nproposal2=30),
+        fine=PointMatchingConfig(nblock=1, input_dim=32, hidden_dim=32,
+                                 out_dim=32, pe_nsample1=8, pe_nsample2=16),
+        img_size=64, n_sample_model_point=64, n_sample_observed_point=96,
+        n_sample_template_point=200, n_template_view=2,
+    )
+
+
+def test_bucket():
+    assert _bucket(1) == 1 and _bucket(3) == 4 and _bucket(17) == 32
+    assert _bucket(100, cap=64) == 64
+
+
+@pytest.mark.slow
+def test_run_demo_pem_plumbing(tmp_path, rng):
+    cfg = tiny_pem_cfg()
+    out_dir = str(tmp_path)
+
+    # synthesize 42-view-style template files (only views 0 and 21 are read
+    # for n_template_view=2)
+    tdir = os.path.join(out_dir, "templates")
+    os.makedirs(tdir)
+    mesh = load_ply(os.path.join(EXAMPLE, "obj_000005.ply"))
+    for i in range(42):
+        H = 64
+        rgbt = (rng.rand(H, H, 3) * 255).astype(np.uint8)
+        maskt = np.zeros((H, H), np.uint8)
+        maskt[16:48, 16:48] = 255
+        xyz = (rng.rand(H, H, 3).astype(np.float32) - 0.5) * 100  # mm
+        Image.fromarray(rgbt).save(f"{tdir}/rgb_{i}.png")
+        Image.fromarray(maskt).save(f"{tdir}/mask_{i}.png")
+        np.save(f"{tdir}/xyz_{i}.npy", xyz)
+
+    # synthetic ISM detections: two blobs over regions with valid depth
+    depth = np.array(Image.open(os.path.join(EXAMPLE, "depth.png")))
+    dets = []
+    for (r0, c0) in [(200, 300), (240, 350)]:
+        m = np.zeros(depth.shape, np.uint8)
+        m[r0:r0 + 60, c0:c0 + 60] = 1
+        dets.append(dict(scene_id=0, image_id=0, category_id=1,
+                         bbox=[c0, r0, 60, 60], score=0.9,
+                         segmentation=rle_encode_coco(m)))
+    seg_path = os.path.join(out_dir, "detection_ism.json")
+    json.dump(dets, open(seg_path, "w"))
+
+    results = run_demo_pem(
+        cfg, out_dir,
+        cad_path=os.path.join(EXAMPLE, "obj_000005.ply"),
+        rgb_path=os.path.join(EXAMPLE, "rgb.png"),
+        depth_path=os.path.join(EXAMPLE, "depth.png"),
+        cam_path=os.path.join(EXAMPLE, "camera.json"),
+        seg_path=seg_path,
+    )
+    assert os.path.exists(os.path.join(out_dir, "sam6d_results", "detection_pem.json"))
+    assert len(results) == 2
+    for r in results:
+        R = np.array(r["R"])
+        assert R.shape == (3, 3)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-2)
+        assert len(r["t"]) == 3
+        assert np.isfinite(r["score"])
