@@ -1,0 +1,91 @@
+"""DINOv2 ViT descriptor model (flax.linen), cls + masked patch tokens.
+
+Parity with reference `Instance_Segmentation_Model/model/vision_transformer.py`
+(DinoVisionTransformer: LayerScale init 1.0, pre-LN blocks, eps 1e-6) and
+`model/dinov2.py` CustomDINOv2 (:92-258): cls descriptors for the semantic
+score, masked+L2-normalized patch descriptors for the appearance score.
+
+TPU design: all proposals are processed as one batched forward (the
+reference's chunk-of-16 loop is a GPU memory workaround); the 224-input
+position embedding is interpolated once at weight-conversion time, so the
+module holds a fixed (1, 257, C) pos_embed.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .vit import Attention, MlpBlock
+
+
+class DinoBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
+        ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + ls1 * Attention(self.dim, self.num_heads, dtype=self.dtype,
+                                name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + ls2 * MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
+                               dtype=self.dtype, name="mlp")(h)
+        return x
+
+
+class DINOv2(nn.Module):
+    """Returns (cls_token (B, C), patch_tokens (B, N, C)), both final-normed
+    (x_norm_clstoken / x_norm_patchtokens of the reference forward)."""
+    img_size: int = 224
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        g = self.img_size // self.patch_size
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(B, g * g, self.embed_dim)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.embed_dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + g * g, self.embed_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        x = x + pos.astype(x.dtype)
+        for i in range(self.depth):
+            x = DinoBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
+                          dtype=self.dtype, name=f"blocks_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x[:, 0], x[:, 1:]
+
+
+def masked_patch_descriptors(patch_tokens: jnp.ndarray,
+                             proposal_masks: jnp.ndarray,
+                             patch_size: int = 14,
+                             thresh: float = 0.5) -> jnp.ndarray:
+    """Zero out patches whose mask coverage <= thresh, then L2-normalize
+    (reference compute_masked_patch_feature, model/dinov2.py:214-224:
+    AvgPool(patch)(mask) > 0.5 -> mask patches -> F.normalize).
+
+    patch_tokens: (B, N, C); proposal_masks: (B, S, S) in {0, 1}.
+    """
+    B, S, _ = proposal_masks.shape
+    g = S // patch_size
+    m = proposal_masks.reshape(B, g, patch_size, g, patch_size)
+    cover = m.mean(axis=(2, 4)).reshape(B, g * g)
+    valid = (cover > thresh).astype(patch_tokens.dtype)
+    feats = patch_tokens * valid[..., None]
+    norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats / jnp.maximum(norm, 1e-12)

@@ -1,0 +1,229 @@
+"""ISM descriptor + scoring tests: torch oracles for DINOv2 blocks and
+CropResizePad, numpy oracles for the three matching scores."""
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from sam6d_tpu.models.dinov2 import DINOv2, masked_patch_descriptors
+from sam6d_tpu.models.ism_scoring import (
+    semantic_scores,
+    appearance_scores,
+    visible_ratio,
+    project_points_to_boxes,
+    final_scores,
+)
+from sam6d_tpu.ops.images import crop_resize_pad_nearest
+from sam6d_tpu.weights.convert_dinov2 import convert_dinov2_state_dict
+
+torch.manual_seed(1)
+
+
+# ------------------------------------------------------------ DINOv2 oracle
+
+class TorchDinoBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Parameter(torch.rand(dim))
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, dim * 4)
+        self.fc2 = nn.Linear(dim * 4, dim)
+        self.ls2 = nn.Parameter(torch.rand(dim))
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, N, 3, self.heads, C // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = torch.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(C // self.heads)
+        o = torch.einsum("bhnm,bmhd->bnhd", a.softmax(-1), v).reshape(B, N, C)
+        x = x + self.ls1 * self.proj(o)
+        h = self.norm2(x)
+        x = x + self.ls2 * self.fc2(F.gelu(self.fc1(h)))
+        return x
+
+
+class TorchDino(nn.Module):
+    def __init__(self, img=28, patch=14, dim=32, depth=2, heads=4):
+        super().__init__()
+        g = img // patch
+        self.patch = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, g * g + 1, dim) * 0.02)
+        self.blocks = nn.ModuleList([TorchDinoBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        B = x.shape[0]
+        t = self.patch(x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(B, -1, -1), t], 1) + self.pos_embed
+        for b in self.blocks:
+            t = b(t)
+        t = self.norm(t)
+        return t[:, 0], t[:, 1:]
+
+    def state_dict_flat(self):
+        sd = {"cls_token": self.cls_token, "pos_embed": self.pos_embed,
+              "patch_embed.proj.weight": self.patch.weight,
+              "patch_embed.proj.bias": self.patch.bias,
+              "norm.weight": self.norm.weight, "norm.bias": self.norm.bias}
+        for i, b in enumerate(self.blocks):
+            p = f"blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": b.norm1.weight, f"{p}.norm1.bias": b.norm1.bias,
+                f"{p}.attn.qkv.weight": b.qkv.weight, f"{p}.attn.qkv.bias": b.qkv.bias,
+                f"{p}.attn.proj.weight": b.proj.weight, f"{p}.attn.proj.bias": b.proj.bias,
+                f"{p}.ls1.gamma": b.ls1,
+                f"{p}.norm2.weight": b.norm2.weight, f"{p}.norm2.bias": b.norm2.bias,
+                f"{p}.mlp.fc1.weight": b.fc1.weight, f"{p}.mlp.fc1.bias": b.fc1.bias,
+                f"{p}.mlp.fc2.weight": b.fc2.weight, f"{p}.mlp.fc2.bias": b.fc2.bias,
+                f"{p}.ls2.gamma": b.ls2,
+            })
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_dinov2_parity(rng):
+    tref = TorchDino().eval()
+    variables = convert_dinov2_state_dict(tref.state_dict_flat(), depth=2,
+                                          target_grid=2)
+    mod = DINOv2(img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=4)
+    x = rng.rand(3, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        want_cls, want_patch = tref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got_cls, got_patch = mod.apply(variables, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(got_cls), want_cls.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_patch), want_patch.numpy(), atol=2e-4)
+
+
+def test_masked_patch_descriptors(rng):
+    B, S, C, p = 2, 28, 8, 14
+    tokens = rng.randn(B, 4, C).astype(np.float32)
+    masks = np.zeros((B, S, S), np.float32)
+    masks[0, :14, :14] = 1.0   # patch (0,0) fully covered
+    masks[1, :, :] = 1.0       # all patches covered
+    out = np.asarray(masked_patch_descriptors(jnp.array(tokens), jnp.array(masks), p))
+    # proposal 0: only patch 0 kept (unit-normalized), others zero
+    np.testing.assert_allclose(np.linalg.norm(out[0, 0]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 1:], 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.linalg.norm(out[1], axis=-1), 1.0, atol=1e-5)
+
+
+# --------------------------------------------------------- CropResizePad
+
+def torch_crop_resize_pad(image_chw, boxes, target=224):
+    """Oracle replicating reference CropResizePad (bbox_utils.py:98-126)."""
+    outs = []
+    boxes = boxes.long()
+    scale_factor = target / torch.max(boxes[:, 2:] - boxes[:, :2], dim=-1)[0].float()
+    for box, scale in zip(boxes, scale_factor):
+        img = image_chw[:, box[1]:box[3], box[0]:box[2]]
+        img = F.interpolate(img.unsqueeze(0), scale_factor=scale.item())[0]
+        h, w = img.shape[1:]
+        if w != h:
+            pt = max((target - h) // 2, 0)
+            pb = target - h - pt
+            pl = max((target - w) // 2, 0)
+            pr = target - w - pl
+            img = F.pad(img, (pl, pr, pt, pb))
+        img = F.interpolate(img.unsqueeze(0), scale_factor=target / img.shape[1])[0]
+        outs.append(img)
+    return torch.stack(outs)
+
+
+def test_crop_resize_pad_matches_torch_oracle(rng):
+    H, W = 96, 128
+    img = rng.rand(H, W, 3).astype(np.float32)
+    boxes = np.array([
+        [10, 20, 50, 60],    # square
+        [5, 10, 85, 50],     # wide
+        [30, 5, 60, 90],     # tall
+        [0, 0, W, H],        # full image
+    ], np.float32)
+    got = np.asarray(crop_resize_pad_nearest(jnp.array(img), jnp.array(boxes), 224))
+    with torch.no_grad():
+        want = torch_crop_resize_pad(
+            torch.from_numpy(img).permute(2, 0, 1), torch.from_numpy(boxes), 224)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ----------------------------------------------------------------- scoring
+
+def test_semantic_scores_selects_correct_object(rng):
+    P, O, T, C = 6, 3, 7, 16
+    ref = rng.randn(O, T, C).astype(np.float32)
+    # query i matches object i % O, template 2
+    q = np.stack([ref[i % O, 2] + 0.01 * rng.randn(C) for i in range(P)]).astype(np.float32)
+    valid = np.ones(P, bool)
+    out = semantic_scores(jnp.array(q), jnp.array(ref), jnp.array(valid))
+    np.testing.assert_array_equal(np.asarray(out["object_idx"]), np.arange(P) % O)
+    assert np.asarray(out["selected"]).all()
+    # avg_5 aggregation dilutes the single perfect template with 4 others
+    assert (np.asarray(out["score"]) > 0.2).all()
+    np.testing.assert_array_equal(np.asarray(out["best_template"]), 2)
+
+
+def test_semantic_scores_threshold_and_valid_mask(rng):
+    P, O, T, C = 4, 2, 6, 8
+    ref = rng.randn(O, T, C).astype(np.float32)
+    q = rng.randn(P, C).astype(np.float32)
+    q[0] = -ref[0, 0]  # anti-correlated -> clamped to 0 -> below thresh
+    valid = np.array([True, True, True, False])
+    out = semantic_scores(jnp.array(q), jnp.array(ref), jnp.array(valid),
+                          confidence_thresh=0.99)
+    sel = np.asarray(out["selected"])
+    assert not sel[0] and not sel[3]
+
+
+def test_appearance_scores_oracle(rng):
+    P, Np, Nr, C = 3, 5, 4, 8
+    q = rng.randn(P, Np, C).astype(np.float32)
+    q[0, 2:] = 0.0  # only 2 valid patches in proposal 0
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q[0, 2:] = 0.0
+    r = rng.randn(P, Nr, C).astype(np.float32)
+    got = np.asarray(appearance_scores(jnp.array(q), jnp.array(r)))
+    sim = np.einsum("pnc,pmc->pnm", q, r)
+    max_ref = sim.max(-1)
+    factor = (np.abs(q).sum(-1) > 0).sum(-1) + 1e-6
+    want = np.clip(max_ref.sum(-1) / factor, 0, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_visible_ratio_bounds(rng):
+    P, Np, Nr, C = 2, 6, 6, 8
+    q = rng.randn(P, Np, C).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    vr_same = np.asarray(visible_ratio(jnp.array(q), jnp.array(q), 0.5))
+    np.testing.assert_allclose(vr_same, 1.0, atol=1e-5)  # self-match: all > 0.5
+    # orthogonal-subspace ref: every similarity is exactly 0 -> ratio 0
+    r = np.zeros_like(q)
+    r[..., C // 2:] = rng.randn(P, Nr, C // 2)
+    q2 = q.copy()
+    q2[..., C // 2:] = 0.0
+    vr_orth = np.asarray(visible_ratio(jnp.array(q2), jnp.array(r), 0.5))
+    np.testing.assert_allclose(vr_orth, 0.0, atol=1e-5)
+
+
+def test_project_points_to_boxes():
+    K = jnp.array([[500.0, 0, 64], [0, 500.0, 64], [0, 0, 1]])
+    pts = jnp.array([[[0.1, 0.0, 0.0], [-0.1, 0.0, 0.0],
+                      [0.0, 0.1, 0.0], [0.0, -0.1, 0.0]]])
+    R = jnp.broadcast_to(jnp.eye(3), (1, 3, 3))
+    t = jnp.array([[0.0, 0.0, 1.0]])
+    boxes = np.asarray(project_points_to_boxes(pts, R, t, K, (128, 128)))
+    np.testing.assert_allclose(boxes[0], [14, 14, 114, 114], atol=1.0)
+
+
+def test_final_scores_formula():
+    s = final_scores(jnp.array([0.6]), jnp.array([0.4]), jnp.array([0.8]),
+                     jnp.array([0.5]))
+    np.testing.assert_allclose(np.asarray(s), [(0.6 + 0.4 + 0.8 * 0.5) / 2.5], atol=1e-6)
