@@ -1,0 +1,67 @@
+"""SAM component parity: flax vs torch oracles through the converter."""
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from tests.torch_sam_ref import (
+    TorchSAMEncoder,
+    TorchPromptEncoder,
+    TorchMaskDecoder,
+)
+from sam6d_tpu.models.sam import SAMImageEncoder, PromptEncoder, MaskDecoder
+from sam6d_tpu.weights.convert_sam import (
+    convert_sam_encoder,
+    convert_sam_prompt_encoder,
+    convert_sam_mask_decoder,
+)
+
+torch.manual_seed(2)
+
+
+def test_sam_encoder_parity(rng):
+    tref = TorchSAMEncoder(img=64, patch=16, dim=32, depth=3, heads=4,
+                           window=3, global_idx=(1,), out_ch=16).eval()
+    params = convert_sam_encoder(tref.state_dict_flat(), depth=3)
+    enc = SAMImageEncoder(img_size=64, patch_size=16, embed_dim=32, depth=3,
+                          num_heads=4, window_size=3, global_attn_indexes=(1,),
+                          out_chans=16)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = enc.apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 1).numpy(), atol=3e-4)
+
+
+def test_prompt_encoder_parity(rng):
+    tref = TorchPromptEncoder(dim=32, input_size=(64, 64)).eval()
+    params = convert_sam_prompt_encoder(tref.state_dict_flat())
+    pe = PromptEncoder(embed_dim=32, input_image_size=(64, 64),
+                       image_embedding_size=(4, 4))
+    pts = (rng.rand(5, 1, 2) * 64).astype(np.float32)
+    lbl = np.ones((5, 1), np.int32)
+    with torch.no_grad():
+        want = tref.embed_points(torch.from_numpy(pts), torch.from_numpy(lbl))
+        want_dense = tref.dense_pe((4, 4))
+    got = pe.apply({"params": params}, jnp.array(pts), jnp.array(lbl),
+                   method="embed_points")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
+    got_dense = pe.apply({"params": params}, method="dense_pe")
+    np.testing.assert_allclose(np.asarray(got_dense), want_dense.numpy(), atol=2e-4)
+
+
+def test_mask_decoder_parity(rng):
+    tref = TorchMaskDecoder(dim=32, heads=4, mlp_dim=64).eval()
+    params = convert_sam_mask_decoder(tref.state_dict_flat())
+    dec = MaskDecoder(transformer_dim=32, twoway_num_heads=4, twoway_mlp_dim=64)
+    H = W = 4
+    img = rng.randn(H, W, 32).astype(np.float32)
+    pe = rng.randn(H, W, 32).astype(np.float32)
+    sparse = rng.randn(6, 2, 32).astype(np.float32)
+    dense = rng.randn(H, W, 32).astype(np.float32)
+    with torch.no_grad():
+        want_m, want_iou = tref(*map(torch.from_numpy, (img, pe, sparse, dense)))
+    got_m, got_iou = dec.apply({"params": params}, *map(jnp.array, (img, pe, sparse, dense)))
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_m), want_m.numpy(), atol=3e-4)
