@@ -1,0 +1,250 @@
+"""ISM pipeline: segment-anything proposals + DINOv2 template matching.
+
+Functional equivalent of reference `Instance_Segmentation_Model/model/detector.py`
+(Instance_Segmentation_Model.test_step :324-423) and the custom-image path
+(`run_inference_custom.py:95-215`), re-architected for TPU: the descriptor
+forward and all three scores run as one jitted program over the fixed
+proposal capacity; filtering is a validity mask, not index shuffling.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.config import ISMConfig
+from ..models.dinov2 import DINOv2, masked_patch_descriptors
+from ..models import ism_scoring
+from ..ops.images import crop_resize_pad_nearest, normalize_imagenet
+from ..ops.masks import box_iou, nms_masked, rle_encode_coco
+from ..render.poses import template_obj_poses
+from .sam_amg import SAMSegmentor
+
+
+class ISMPipeline:
+    def __init__(self, cfg: ISMConfig, dinov2_variables=None,
+                 segmentor: Optional[SAMSegmentor] = None, seed: int = 0,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        d = cfg.dinov2
+        self.dinov2 = DINOv2(img_size=d.img_size, patch_size=d.patch_size,
+                             embed_dim=d.embed_dim, depth=d.depth,
+                             num_heads=d.num_heads, dtype=dtype)
+        if dinov2_variables is None:
+            dinov2_variables = self.dinov2.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, d.img_size, d.img_size, 3)))
+        self.dinov2_vars = dinov2_variables
+        self.segmentor = segmentor
+        self.ref_data: Dict[str, jnp.ndarray] = {}
+        self._describe = jax.jit(self._describe_impl)
+        self._describe_templates = jax.jit(self._describe_templates_impl)
+
+    # ------------------------------------------------------------- internals
+
+    def _dino_forward_chunked(self, images):
+        """(N, S, S, 3) -> (cls (N, C), patch (N, P, C)); N % chunk == 0."""
+        chunk = self.cfg.dinov2.chunk_size
+        N = images.shape[0]
+        if N <= chunk:
+            return self.dinov2.apply(self.dinov2_vars, images)
+        pad = (-N) % chunk
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.broadcast_to(images[:1], (pad, *images.shape[1:]))])
+        images = images.reshape(-1, chunk, *images.shape[1:])
+        cls, patch = jax.lax.map(
+            lambda x: self.dinov2.apply(self.dinov2_vars, x), images)
+        cls = cls.reshape(-1, cls.shape[-1])[:N]
+        patch = patch.reshape(-1, *patch.shape[2:])[:N]
+        return cls, patch
+
+    def _describe_impl(self, rgb01, masks, boxes):
+        """Query proposals -> (cls descriptors, masked patch descriptors).
+
+        rgb01: (H, W, 3) float in [0,1]; masks: (K, H, W) float; boxes (K, 4).
+        Matches CustomDINOv2.forward (model/dinov2.py:227-258): imagenet
+        normalize, mask, crop-resize-pad 224, patch validity via avgpool.
+        """
+        d = self.cfg.dinov2
+        rgb = normalize_imagenet(rgb01)
+        masked = rgb[None] * masks[..., None]
+        crops = jax.vmap(
+            lambda img, box: crop_resize_pad_nearest(img, box[None], d.img_size)[0]
+        )(masked, boxes)
+        mask_crops = jax.vmap(
+            lambda m, box: crop_resize_pad_nearest(m[..., None], box[None],
+                                                   d.img_size)[0, ..., 0]
+        )(masks, boxes)
+        cls, patch = self._dino_forward_chunked(crops)
+        patch = masked_patch_descriptors(patch, mask_crops, d.patch_size,
+                                         d.validity_thresh)
+        return cls, patch
+
+    def _describe_templates_impl(self, images, masks):
+        """Template stacks (T, S, S, 3) already cropped/padded + their mask
+        crops -> (cls (T, C), patch (T, P, C))."""
+        cls, patch = self._dino_forward_chunked(images)
+        patch = masked_patch_descriptors(patch, masks, self.cfg.dinov2.patch_size,
+                                         self.cfg.dinov2.validity_thresh)
+        return cls, patch
+
+    # ------------------------------------------------------------ onboarding
+
+    def onboard_templates_from_dir(self, template_dir: str, num_templates: int = 42,
+                                   poses: Optional[np.ndarray] = None):
+        """Demo-style onboarding (run_inference_custom.py:126-160): per view
+        rgb*mask / 255 (NOTE: the reference demo path skips ImageNet
+        normalization for templates — replicated), CropResizePad 224.
+        `poses`: (T, 4, 4) object poses of the views; defaults to the
+        canonical level-0 icosphere poses of this framework's renderer.
+        """
+        rgbs, masks, boxes = [], [], []
+        for i in range(num_templates):
+            rgb = np.array(Image.open(
+                os.path.join(template_dir, f"rgb_{i}.png")).convert("RGB"),
+                np.float32) / 255.0
+            m = np.array(Image.open(
+                os.path.join(template_dir, f"mask_{i}.png")).convert("L"),
+                np.float32) / 255.0
+            ys, xs = np.where(m > 0)
+            boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+            rgbs.append(rgb * m[:, :, None])
+            masks.append(m)
+        rgbs = jnp.asarray(np.stack(rgbs))
+        masks = jnp.asarray(np.stack(masks))
+        boxes = jnp.asarray(np.array(boxes, np.float32))
+        S = self.cfg.dinov2.img_size
+        crops = jax.vmap(lambda img, b: crop_resize_pad_nearest(img, b[None], S)[0])(
+            rgbs, boxes)
+        mask_crops = jax.vmap(
+            lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
+            masks, boxes)
+        cls, patch = self._describe_templates(crops, mask_crops)
+        if poses is None:
+            poses = template_obj_poses(0)
+        self.ref_data = {
+            "descriptors": cls[None],        # (1 object, T, C)
+            "appe_descriptors": patch[None],  # (1, T, P, C)
+            "poses_R": jnp.asarray(poses[:, :3, :3].astype(np.float32)),
+        }
+        return self.ref_data
+
+    def set_reference_data(self, descriptors, appe_descriptors, poses_R,
+                           pointclouds=None):
+        """BOP-style onboarding with precomputed descriptors
+        (detector.set_reference_objects)."""
+        self.ref_data = dict(descriptors=descriptors,
+                             appe_descriptors=appe_descriptors,
+                             poses_R=poses_R)
+        if pointclouds is not None:
+            self.ref_data["pointcloud"] = pointclouds
+
+    # -------------------------------------------------------------- matching
+
+    def match_frame(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        K: np.ndarray,
+        depth_scale: float,
+        pointclouds: jnp.ndarray,
+        detections: Optional[Dict] = None,
+        apply_nms_per_object: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Full per-frame matching. rgb uint8 (H, W, 3); depth raw (H, W);
+        pointclouds: (O, M, 3) object CAD samples in meters.
+
+        Returns dict(masks, boxes, scores, object_ids, valid) at capacity K.
+        """
+        cfg = self.cfg
+        if detections is None:
+            detections = self.segmentor.generate_masks(rgb)
+        masks = jnp.asarray(detections["masks"], jnp.float32)
+        boxes = jnp.asarray(detections["boxes"], jnp.float32)
+        valid = np.asarray(detections["valid"]).copy()
+
+        # size filters (detector remove_very_small_detections, utils.py:96-105)
+        H, W = rgb.shape[:2]
+        img_area = H * W
+        box_areas = np.asarray(
+            (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])) / img_area
+        mask_areas = np.asarray(jnp.sum(masks, axis=(1, 2))) / img_area
+        valid &= (box_areas > cfg.post.min_box_size ** 2)
+        valid &= (mask_areas > cfg.post.min_mask_size)
+
+        rgb01 = jnp.asarray(rgb.astype(np.float32) / 255.0)
+        cls_desc, patch_desc = self._describe(rgb01, masks, boxes.astype(jnp.int32))
+
+        sem = ism_scoring.semantic_scores(
+            cls_desc, self.ref_data["descriptors"], jnp.asarray(valid),
+            cfg.matching.aggregation_function, cfg.matching.confidence_thresh)
+        selected = np.asarray(sem["selected"])
+        obj_idx = sem["object_idx"]
+        best_template = sem["best_template"]
+
+        # appearance vs best template of assigned object
+        ref_appe = self.ref_data["appe_descriptors"][obj_idx, best_template]
+        appe = ism_scoring.appearance_scores(patch_desc, ref_appe)
+        vis = ism_scoring.visible_ratio(patch_desc, ref_appe,
+                                        cfg.matching.visible_thred)
+
+        # geometric: project best-template-posed CAD cloud, IoU vs proposal box
+        poses_R = self.ref_data["poses_R"][best_template]
+        pcs = pointclouds[obj_idx]
+        geo = ism_scoring.geometric_scores(
+            boxes, masks, jnp.asarray(depth.astype(np.float32)),
+            jnp.asarray(K.astype(np.float32)), jnp.asarray(np.float32(depth_scale)),
+            poses_R, pcs)
+
+        final = ism_scoring.final_scores(sem["score"], appe, geo, vis)
+        final_np = np.asarray(final)
+
+        if apply_nms_per_object:
+            iou_mat = box_iou(boxes, boxes)
+            same = np.asarray(obj_idx)[:, None] == np.asarray(obj_idx)[None, :]
+            keep = np.asarray(nms_masked(
+                iou_mat, jnp.asarray(final_np), jnp.asarray(selected),
+                jnp.asarray(same), cfg.post.nms_thresh))
+            selected = selected & keep
+
+        return dict(
+            masks=np.asarray(masks),
+            boxes=np.asarray(boxes),
+            scores=final_np,
+            object_ids=np.asarray(obj_idx),
+            valid=selected,
+            semantic_score=np.asarray(sem["score"]),
+            appe_score=np.asarray(appe),
+            geometric_score=np.asarray(geo),
+            visible_ratio=np.asarray(vis),
+        )
+
+
+def detections_to_bop_json(result: Dict[str, np.ndarray], scene_id: int = 0,
+                           image_id: int = 0, runtime: float = 0.0,
+                           category_offset: int = 1):
+    """BOP-23 coco-style json records (reference convert_npz_to_json,
+    model/utils.py:199-216 + save_json_bop23)."""
+    out = []
+    for i in range(len(result["scores"])):
+        if not result["valid"][i]:
+            continue
+        mask = result["masks"][i] > 0  # force_binary_mask(threshold=0)
+        x1, y1, x2, y2 = result["boxes"][i]
+        out.append({
+            "scene_id": int(scene_id),
+            "image_id": int(image_id),
+            "category_id": int(result["object_ids"][i]) + category_offset,
+            "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+            "score": float(result["scores"][i]),
+            "time": float(runtime),
+            "segmentation": rle_encode_coco(mask),
+        })
+    return out

@@ -1,0 +1,254 @@
+"""TPU-native SAM automatic mask generation.
+
+Functional equivalent of reference `CustomSamAutomaticMaskGenerator`
+(`model/sam.py:52-148`) + `SamAutomaticMaskGenerator._process_batch`
+(`segment_anything/automatic_mask_generator.py:266-321`), re-architected:
+
+- the 32x32 prompt grid is decoded in fixed chunks inside ONE jitted
+  program (`lax.map`), not a 64-point Python loop;
+- mask postprocessing (256^2 logits -> 1024^2 -> crop -> segmentor size)
+  is a COMPOSED pair of separable bilinear matrices, so each mask is two
+  MXU matmuls instead of two materialized resizes;
+- filtering (pred-IoU, stability, box NMS) is a two-pass fixed-capacity
+  scheme: pass A scores all 3072 candidates and discards masks, pass B
+  recomputes masks only for the top-K survivors. No dynamic shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.config import SAMConfig
+from ..models.sam import SAMImageEncoder, PromptEncoder, MaskDecoder
+from ..ops.masks import masks_to_boxes, box_iou, nms_masked
+from ..data.preprocess import bilinear_resize
+
+SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """(n^2, 2) grid in [0,1]^2, xy order (reference amg.py:179-187)."""
+    offset = 1.0 / (2 * n_per_side)
+    pts = np.linspace(offset, 1 - offset, n_per_side)
+    x = np.tile(pts[None, :], (n_per_side, 1))
+    y = np.tile(pts[:, None], (1, n_per_side))
+    return np.stack([x, y], axis=-1).reshape(-1, 2)
+
+
+def bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) separable bilinear weights, half-pixel convention
+    (= F.interpolate mode='bilinear', align_corners=False)."""
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    i0c = np.clip(i0, 0, in_size - 1)
+    i1c = np.clip(i0 + 1, 0, in_size - 1)
+    M = np.zeros((out_size, in_size), np.float32)
+    M[np.arange(out_size), i0c] += (1 - frac).astype(np.float32)
+    M[np.arange(out_size), i1c] += frac.astype(np.float32)
+    return M
+
+
+def get_preprocess_shape(oldh: int, oldw: int, long_side: int):
+    """ResizeLongestSide target (reference transforms.py)."""
+    scale = long_side / max(oldh, oldw)
+    newh, neww = oldh * scale, oldw * scale
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+class SAMSegmentor:
+    """SAM AMG over a fixed proposal capacity."""
+
+    def __init__(self, cfg: SAMConfig, variables: Optional[Dict] = None,
+                 seed: int = 0, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        grid = cfg.img_size // cfg.patch_size
+        self.encoder = SAMImageEncoder(
+            img_size=cfg.img_size, patch_size=cfg.patch_size,
+            embed_dim=cfg.encoder_embed_dim, depth=cfg.encoder_depth,
+            num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
+            global_attn_indexes=cfg.encoder_global_attn_indexes,
+            out_chans=cfg.prompt_embed_dim, dtype=dtype)
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=cfg.prompt_embed_dim,
+            input_image_size=(cfg.img_size, cfg.img_size),
+            image_embedding_size=(grid, grid), dtype=dtype)
+        self.mask_decoder = MaskDecoder(transformer_dim=cfg.prompt_embed_dim,
+                                        dtype=dtype)
+        if variables is None:
+            variables = self._random_init(seed)
+        self.vars = variables
+        self.points = build_point_grid(cfg.points_per_side)
+        self._encode = jax.jit(
+            lambda v, x: self.encoder.apply(v["image_encoder"], x))
+        self._score_all = jax.jit(self._score_all_impl,
+                                  static_argnames=("hs", "ws", "h_in", "w_in"))
+        self._masks_for = jax.jit(self._masks_for_impl,
+                                  static_argnames=("hs", "ws", "h_in", "w_in"))
+
+    def _random_init(self, seed: int):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        g = self.cfg.img_size // self.cfg.patch_size
+        C = self.cfg.prompt_embed_dim
+        enc = self.encoder.init(k1, jnp.zeros((1, self.cfg.img_size,
+                                               self.cfg.img_size, 3)))
+        pe = self.prompt_encoder.init(k2, jnp.zeros((1, 1, 2)),
+                                      jnp.ones((1, 1), jnp.int32))
+        dec = self.mask_decoder.init(
+            k3, jnp.zeros((g, g, C)), jnp.zeros((g, g, C)),
+            jnp.zeros((1, 2, C)), jnp.zeros((g, g, C)))
+        return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": dec}
+
+    # -------------------------------------------------------------- internals
+
+    def _decode_chunk(self, embedding, dense_pe, pts):
+        """pts: (chunk, 2) coords in the 1024-frame. Returns
+        (low-res masks (chunk, 3, 256, 256), iou (chunk, 3))."""
+        v = self.vars
+        labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
+        sparse, dense = self.prompt_encoder.apply(
+            v["prompt_encoder"], pts[:, None, :], labels)
+        masks, iou = self.mask_decoder.apply(
+            v["mask_decoder"], embedding, dense_pe, sparse, dense)
+        return masks[:, 1:], iou[:, 1:]  # multimask slice (decoder :101-107)
+
+    def _resize_logits(self, masks, Ry, Rx):
+        """(..., 256, 256) -> (..., Hs, Ws) via composed bilinear matrices."""
+        out = jnp.einsum("ah,...hw->...aw", Ry, masks)
+        return jnp.einsum("bw,...aw->...ab", Rx, out)
+
+    def _score_all_impl(self, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
+        """Score all prompts. Returns (iou (3P,), stability (3P,),
+        boxes (3P, 4)) in segmentor-resolution coords."""
+        cfg = self.cfg
+        dense_pe = self.prompt_encoder.apply(
+            self.vars["prompt_encoder"], method="dense_pe")
+        chunk = cfg.points_per_batch
+
+        def one(pts):
+            masks, iou = self._decode_chunk(embedding, dense_pe, pts)
+            hi = self._resize_logits(masks, Ry, Rx)  # (chunk, 3, Hs, Ws)
+            inter = jnp.sum(hi > cfg.stability_score_offset, axis=(-1, -2))
+            union = jnp.sum(hi > -cfg.stability_score_offset, axis=(-1, -2))
+            stability = inter / jnp.maximum(union, 1)
+            flat = hi.reshape(-1, hs, ws)
+            boxes = masks_to_boxes((flat > 0.0).astype(jnp.float32))
+            return iou.reshape(-1), stability.reshape(-1), boxes
+
+        P = points.shape[0]
+        pts = points.reshape(P // chunk, chunk, 2)
+        iou, stab, boxes = jax.lax.map(one, pts)
+        return iou.reshape(-1), stab.reshape(-1), boxes.reshape(-1, 4)
+
+    def _masks_for_impl(self, embedding, sel_points, sel_channel, Ry, Rx,
+                        hs, ws, h_in, w_in):
+        """Recompute masks for selected (point, channel) pairs ->
+        (K, Hs, Ws) bool."""
+        dense_pe = self.prompt_encoder.apply(
+            self.vars["prompt_encoder"], method="dense_pe")
+        chunk = min(self.cfg.points_per_batch, sel_points.shape[0])
+        K = sel_points.shape[0]
+
+        def one(args):
+            pts, ch = args
+            masks, _ = self._decode_chunk(embedding, dense_pe, pts)
+            low = jnp.take_along_axis(masks, ch[:, None, None, None], axis=1)[:, 0]
+            hi = self._resize_logits(low, Ry, Rx)
+            return hi > 0.0
+
+        pts = sel_points.reshape(K // chunk, chunk, 2)
+        chs = sel_channel.reshape(K // chunk, chunk)
+        out = jax.lax.map(one, (pts, chs))
+        return out.reshape(K, hs, ws)
+
+    # ------------------------------------------------------------------ API
+
+    def generate_masks(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """image: (H0, W0, 3) uint8 RGB. Returns dict(masks (K, H0, W0) bool,
+        boxes (K, 4) float xyxy in original coords, valid (K,) bool,
+        iou_preds (K,)) with K = cfg.max_proposals."""
+        cfg = self.cfg
+        H0, W0 = image.shape[:2]
+        # pre-resize to segmentor width (reference model/sam.py:77-83)
+        hs = int(cfg.segmentor_width_size * H0 / W0)
+        ws = cfg.segmentor_width_size
+        img_s = bilinear_resize(image, hs, ws)
+
+        # ResizeLongestSide to the encoder frame (PIL bilinear, reference
+        # transforms.apply_image)
+        h_in, w_in = get_preprocess_shape(hs, ws, cfg.img_size)
+        resized = np.array(
+            Image.fromarray(img_s).resize((w_in, h_in), Image.BILINEAR),
+            np.float32)
+        x = (resized - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
+        canvas[:h_in, :w_in] = x
+        embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
+
+        # composed postprocess matrices: 256 -> 1024 -> crop -> (hs, ws)
+        low = cfg.img_size // 4
+        R1y = bilinear_matrix(cfg.img_size, low)[:h_in]
+        R1x = bilinear_matrix(cfg.img_size, low)[:w_in]
+        Ry = jnp.asarray(bilinear_matrix(hs, h_in) @ R1y)
+        Rx = jnp.asarray(bilinear_matrix(ws, w_in) @ R1x)
+
+        # prompt coords: grid over the segmentor image, scaled to the encoder
+        # frame (reference _process_batch + transforms.apply_coords)
+        pts_img = self.points * np.array([ws, hs], np.float32)
+        scale = np.array([w_in / ws, h_in / hs], np.float32)
+        pts_in = jnp.asarray(pts_img * scale)
+
+        iou, stab, boxes = self._score_all(
+            embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+        iou = np.asarray(iou)
+        stab = np.asarray(stab)
+        boxes_np = np.asarray(boxes)
+
+        valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
+        # box NMS (thresh 0.7, scores = predicted IoU), masked fixed-capacity
+        vj = jnp.asarray(valid)
+        iou_mat = box_iou(boxes, boxes)
+        same = jnp.ones((len(iou), len(iou)), bool)
+        keep = np.asarray(nms_masked(iou_mat, jnp.asarray(iou), vj, same,
+                                     cfg.box_nms_thresh))
+
+        K = cfg.max_proposals
+        order = np.argsort(-np.where(keep, iou, -np.inf))[:K]
+        kept = keep[order]
+        n_kept = int(kept.sum())
+        order = order[:max(n_kept, 1)]
+        # pad to K with repeats of the first entry (masked invalid)
+        pad = np.full(K - len(order), order[0], np.int64)
+        sel = np.concatenate([order, pad])
+        sel_valid = np.zeros(K, bool)
+        sel_valid[:n_kept] = True
+
+        sel_points = pts_in[jnp.asarray(sel // 3)]
+        sel_channel = jnp.asarray(sel % 3, jnp.int32)
+        masks = self._masks_for(embedding, sel_points, sel_channel, Ry, Rx,
+                                hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+
+        # back to the original resolution (reference postprocess_resize)
+        if (H0, W0) != (hs, ws):
+            My = jnp.asarray(bilinear_matrix(H0, hs))
+            Mx = jnp.asarray(bilinear_matrix(W0, ws))
+            masks_f = self._resize_logits(masks.astype(jnp.float32), My, Mx)
+            masks_out = np.asarray(masks_f) > 0.5
+        else:
+            masks_out = np.asarray(masks)
+        box_scale = W0 / ws
+        boxes_out = boxes_np[sel] * box_scale
+        boxes_out[:, [0, 2]] = boxes_out[:, [0, 2]].clip(0, W0 - 1)
+        boxes_out[:, [1, 3]] = boxes_out[:, [1, 3]].clip(0, H0 - 1)
+
+        return dict(masks=masks_out, boxes=boxes_out.astype(np.float32),
+                    valid=sel_valid, iou_preds=iou[sel])

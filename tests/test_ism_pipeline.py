@@ -1,0 +1,103 @@
+"""ISM pipeline smoke tests with tiny random models (structure + plumbing;
+numerical parity of each stage is covered by the dedicated parity tests)."""
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from sam6d_tpu.core.config import (
+    ISMConfig, SAMConfig, DINOv2Config, ISMMatchingConfig)
+from sam6d_tpu.pipelines.sam_amg import SAMSegmentor, build_point_grid, bilinear_matrix
+from sam6d_tpu.pipelines.ism import ISMPipeline, detections_to_bop_json
+
+
+def tiny_sam_cfg():
+    return SAMConfig(
+        model_type="tiny", encoder_embed_dim=32, encoder_depth=2,
+        encoder_num_heads=4, encoder_global_attn_indexes=(1,), img_size=64,
+        patch_size=16, window_size=3, prompt_embed_dim=32, points_per_side=4,
+        points_per_batch=8, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
+        segmentor_width_size=64, max_proposals=16)
+
+
+def tiny_ism_cfg():
+    return ISMConfig(
+        sam=tiny_sam_cfg(),
+        dinov2=DINOv2Config(model_name="tiny", patch_size=14, embed_dim=32,
+                            depth=2, num_heads=4, img_size=28, chunk_size=8),
+        matching=ISMMatchingConfig(confidence_thresh=-1.0),
+        max_detections=8)
+
+
+def test_build_point_grid():
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert abs(g[0, 0] - 1 / 8) < 1e-9 and abs(g[-1, 1] - 7 / 8) < 1e-9
+
+
+def test_bilinear_matrix_interpolates():
+    M = bilinear_matrix(8, 4)
+    x = np.arange(4, dtype=np.float32)
+    np.testing.assert_allclose(M.sum(1), 1.0, atol=1e-6)
+    y = M @ x
+    assert y[0] == 0.0 and abs(y[-1] - 3.0) < 1e-6  # edge clamp
+    # composition of two bilinear matrices == resize chain
+    M2 = bilinear_matrix(16, 8) @ M
+    np.testing.assert_allclose(M2.sum(1), 1.0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def segmentor():
+    return SAMSegmentor(tiny_sam_cfg(), seed=0)
+
+
+def test_amg_generates_fixed_capacity(segmentor, rng):
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    out = segmentor.generate_masks(img)
+    K = segmentor.cfg.max_proposals
+    assert out["masks"].shape == (K, 48, 64)
+    assert out["boxes"].shape == (K, 4)
+    assert out["valid"].shape == (K,)
+    assert out["boxes"][:, 0].min() >= 0 and out["boxes"][:, 2].max() <= 64
+    # with thresholds disabled, at least one proposal should survive NMS
+    assert out["valid"].any()
+
+
+@pytest.mark.slow
+def test_ism_pipeline_end_to_end(segmentor, tmp_path, rng):
+    cfg = tiny_ism_cfg()
+    pipe = ISMPipeline(cfg, segmentor=segmentor, seed=1)
+
+    # synthetic template dir
+    for i in range(42):
+        rgb = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        m = np.zeros((32, 32), np.uint8)
+        m[8:24, 8:24] = 255
+        Image.fromarray(rgb).save(tmp_path / f"rgb_{i}.png")
+        Image.fromarray(m).save(tmp_path / f"mask_{i}.png")
+    ref = pipe.onboard_templates_from_dir(str(tmp_path))
+    assert ref["descriptors"].shape == (1, 42, 32)
+    assert ref["appe_descriptors"].shape[0:2] == (1, 42)
+    assert ref["poses_R"].shape == (42, 3, 3)
+
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    depth = (rng.rand(48, 64) * 1000 + 500).astype(np.float32)
+    K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    clouds = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32) * 0.05)
+
+    result = pipe.match_frame(img, depth, K, 1.0, clouds,
+                              apply_nms_per_object=True)
+    Kcap = cfg.sam.max_proposals
+    assert result["scores"].shape == (Kcap,)
+    for k in ["semantic_score", "appe_score", "geometric_score", "visible_ratio"]:
+        assert np.isfinite(result[k][result["valid"]]).all()
+
+    recs = detections_to_bop_json(result)
+    assert len(recs) == result["valid"].sum()
+    if recs:
+        r = recs[0]
+        assert set(r) == {"scene_id", "image_id", "category_id", "bbox",
+                          "score", "time", "segmentation"}
