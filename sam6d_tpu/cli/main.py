@@ -1,0 +1,128 @@
+"""Unified CLI (replaces the reference's demo.sh + per-stage argparse/hydra
+CLIs, SURVEY §2.1). Subcommands mirror the reference entry points:
+
+  python -m sam6d_tpu.cli.main render   --cad_path ... --output_dir ...
+  python -m sam6d_tpu.cli.main demo     --cad_path ... --rgb_path ... \
+      --depth_path ... --cam_path ... --output_dir ...
+  python -m sam6d_tpu.cli.main ism      (ISM only, writes detection_ism.json)
+  python -m sam6d_tpu.cli.main pem      (PEM only, consumes a seg json)
+  python -m sam6d_tpu.cli.main train    (PEM training)
+
+Checkpoints: --sam_ckpt/--dinov2_ckpt/--pem_ckpt accept the reference torch
+checkpoint files and are converted on load; without them the models run
+randomly initialized (pipeline smoke only).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _load_pem_params(path):
+    if not path:
+        return None
+    from ..weights.convert_pem import load_torch_checkpoint, convert_pem_state_dict
+    return convert_pem_state_dict(load_torch_checkpoint(path))
+
+
+def _load_sam_params(path, depth=32):
+    if not path:
+        return None
+    from ..weights.convert_pem import load_torch_checkpoint
+    from ..weights.convert_sam import convert_sam_state_dict
+    return convert_sam_state_dict(load_torch_checkpoint(path), depth=depth)
+
+
+def _load_dinov2_params(path, depth=24):
+    if not path:
+        return None
+    from ..weights.convert_pem import load_torch_checkpoint
+    from ..weights.convert_dinov2 import convert_dinov2_state_dict
+    return convert_dinov2_state_dict(load_torch_checkpoint(path), depth=depth)
+
+
+def cmd_render(args):
+    from ..render.templates import render_custom_templates
+    out = render_custom_templates(args.cad_path, args.output_dir)
+    print(f"templates written to {out}")
+
+
+def cmd_demo(args):
+    from ..core.config import default_config
+    from ..pipelines.demo import run_demo
+
+    cfg = default_config()
+    results = run_demo(
+        cfg, args.cad_path, args.rgb_path, args.depth_path, args.cam_path,
+        args.output_dir,
+        ism_variables=_load_dinov2_params(args.dinov2_ckpt),
+        sam_variables=_load_sam_params(args.sam_ckpt),
+        pem_variables=_load_pem_params(args.pem_ckpt),
+        det_score_thresh=args.det_score_thresh,
+        skip_render=args.skip_render,
+        stability_score_thresh=args.stability_score_thresh,
+    )
+    print(f"{len(results['ism'])} detections, {len(results['pem'])} poses "
+          f"-> {args.output_dir}/sam6d_results/")
+
+
+def cmd_pem(args):
+    from ..core.config import default_config
+    from ..pipelines.pem import run_demo_pem
+
+    cfg = default_config().pem
+    results = run_demo_pem(
+        cfg, args.output_dir, args.cad_path, args.rgb_path, args.depth_path,
+        args.cam_path, args.seg_path, params=_load_pem_params(args.pem_ckpt),
+        det_score_thresh=args.det_score_thresh)
+    print(f"{len(results)} poses -> {args.output_dir}/sam6d_results/detection_pem.json")
+
+
+def cmd_train(args):
+    print("PEM training requires the MegaPose shard dataset; see "
+          "sam6d_tpu/train/trainer.py and data/megapose.py.", file=sys.stderr)
+    raise SystemExit(2)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="sam6d_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--output_dir", required=True)
+    common.add_argument("--cad_path", required=True)
+
+    pr = sub.add_parser("render", parents=[common])
+    pr.set_defaults(fn=cmd_render)
+
+    io = argparse.ArgumentParser(add_help=False)
+    io.add_argument("--rgb_path", required=True)
+    io.add_argument("--depth_path", required=True)
+    io.add_argument("--cam_path", required=True)
+    io.add_argument("--det_score_thresh", type=float, default=0.2)
+    io.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
+    io.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
+    io.add_argument("--pem_ckpt", default=os.environ.get("PEM_CKPT"))
+
+    pd = sub.add_parser("demo", parents=[common, io])
+    pd.add_argument("--skip_render", action="store_true")
+    pd.add_argument("--stability_score_thresh", type=float, default=0.97)
+    pd.set_defaults(fn=cmd_demo)
+
+    pp = sub.add_parser("pem", parents=[common, io])
+    pp.add_argument("--seg_path", required=True)
+    pp.set_defaults(fn=cmd_pem)
+
+    pt = sub.add_parser("train")
+    pt.set_defaults(fn=cmd_train)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -186,7 +186,7 @@ class RenderConfig:
     """Offline template rendering (reference Render/render_custom_templates.py)."""
     n_views: int = 42
     template_level: int = 0
-    image_size: int = 420
+    image_size: int = 512  # Blender default render resolution
     normalize_to_unit_sphere: bool = True
 
 
