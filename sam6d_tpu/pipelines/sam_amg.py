@@ -93,6 +93,9 @@ class SAMSegmentor:
                                   static_argnames=("hs", "ws", "h_in", "w_in"))
         self._masks_for = jax.jit(self._masks_for_impl,
                                   static_argnames=("hs", "ws", "h_in", "w_in"))
+        # fused single-dispatch per-frame program (encoder output -> proposals)
+        self._propose = jax.jit(self._propose_impl,
+                                static_argnames=("hs", "ws", "h_in", "w_in"))
 
     def _random_init(self, seed: int):
         key = jax.random.PRNGKey(seed)
@@ -170,21 +173,42 @@ class SAMSegmentor:
         out = jax.lax.map(one, (pts, chs))
         return out.reshape(K, hs, ws)
 
+    def _propose_impl(self, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
+        """Fused AMG tail: score all candidates, filter (pred-IoU,
+        stability), box-NMS, select top-K, recompute masks for the
+        selection — one device program, zero host round-trips.
+        Returns (masks (K, hs, ws) bool, boxes (K, 4), valid (K,), iou (K,)).
+        """
+        cfg = self.cfg
+        iou, stab, boxes = self._score_all_impl(
+            embedding, points, Ry, Rx, hs, ws, h_in, w_in)
+        valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
+        iou_mat = box_iou(boxes, boxes)
+        same = jnp.ones((iou.shape[0], iou.shape[0]), bool)
+        keep = nms_masked(iou_mat, iou, valid, same, cfg.box_nms_thresh)
+
+        K = cfg.max_proposals
+        score = jnp.where(keep, iou, -jnp.inf)
+        order = jnp.argsort(-score)[:K]
+        sel_valid = keep[order]
+        sel_points = points[order // 3]
+        sel_channel = (order % 3).astype(jnp.int32)
+        masks = self._masks_for_impl(embedding, sel_points, sel_channel,
+                                     Ry, Rx, hs, ws, h_in, w_in)
+        return masks, boxes[order], sel_valid, iou[order]
+
     # ------------------------------------------------------------------ API
 
-    def generate_masks(self, image: np.ndarray) -> Dict[str, np.ndarray]:
-        """image: (H0, W0, 3) uint8 RGB. Returns dict(masks (K, H0, W0) bool,
-        boxes (K, 4) float xyxy in original coords, valid (K,) bool,
-        iou_preds (K,)) with K = cfg.max_proposals."""
+    def preprocess_frame(self, image: np.ndarray):
+        """Host preprocessing: pre-resize to segmentor width (reference
+        model/sam.py:77-83), ResizeLongestSide with PIL bilinear (reference
+        transforms.apply_image), SAM normalization, padding. Returns the
+        encoder canvas + geometry."""
         cfg = self.cfg
         H0, W0 = image.shape[:2]
-        # pre-resize to segmentor width (reference model/sam.py:77-83)
         hs = int(cfg.segmentor_width_size * H0 / W0)
         ws = cfg.segmentor_width_size
         img_s = bilinear_resize(image, hs, ws)
-
-        # ResizeLongestSide to the encoder frame (PIL bilinear, reference
-        # transforms.apply_image)
         h_in, w_in = get_preprocess_shape(hs, ws, cfg.img_size)
         resized = np.array(
             Image.fromarray(img_s).resize((w_in, h_in), Image.BILINEAR),
@@ -192,63 +216,55 @@ class SAMSegmentor:
         x = (resized - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
         canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
         canvas[:h_in, :w_in] = x
-        embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
+        return canvas, (H0, W0), (hs, ws), (h_in, w_in)
 
-        # composed postprocess matrices: 256 -> 1024 -> crop -> (hs, ws)
+    def frame_constants(self, hs, ws, h_in, w_in):
+        """Per-geometry constants (cached by shape): composed postprocess
+        matrices + prompt coordinates in the encoder frame."""
+        cfg = self.cfg
         low = cfg.img_size // 4
         R1y = bilinear_matrix(cfg.img_size, low)[:h_in]
         R1x = bilinear_matrix(cfg.img_size, low)[:w_in]
         Ry = jnp.asarray(bilinear_matrix(hs, h_in) @ R1y)
         Rx = jnp.asarray(bilinear_matrix(ws, w_in) @ R1x)
-
-        # prompt coords: grid over the segmentor image, scaled to the encoder
-        # frame (reference _process_batch + transforms.apply_coords)
         pts_img = self.points * np.array([ws, hs], np.float32)
         scale = np.array([w_in / ws, h_in / hs], np.float32)
         pts_in = jnp.asarray(pts_img * scale)
+        return Ry, Rx, pts_in
 
-        iou, stab, boxes = self._score_all(
+    def generate_masks_device(self, image: np.ndarray):
+        """Device-resident AMG: two dispatches (encoder + fused tail), no
+        host round-trips. Returns device arrays
+        (masks (K, hs, ws) bool, boxes (K, 4) segmentor-res, valid, iou)
+        plus the frame geometry."""
+        canvas, (H0, W0), (hs, ws), (h_in, w_in) = self.preprocess_frame(image)
+        Ry, Rx, pts_in = self.frame_constants(hs, ws, h_in, w_in)
+        embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
+        masks, boxes, valid, iou = self._propose(
             embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
-        iou = np.asarray(iou)
-        stab = np.asarray(stab)
-        boxes_np = np.asarray(boxes)
+        return dict(masks=masks, boxes=boxes, valid=valid, iou_preds=iou,
+                    orig_size=(H0, W0), seg_size=(hs, ws))
 
-        valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
-        # box NMS (thresh 0.7, scores = predicted IoU), masked fixed-capacity
-        vj = jnp.asarray(valid)
-        iou_mat = box_iou(boxes, boxes)
-        same = jnp.ones((len(iou), len(iou)), bool)
-        keep = np.asarray(nms_masked(iou_mat, jnp.asarray(iou), vj, same,
-                                     cfg.box_nms_thresh))
-
-        K = cfg.max_proposals
-        order = np.argsort(-np.where(keep, iou, -np.inf))[:K]
-        kept = keep[order]
-        n_kept = int(kept.sum())
-        order = order[:max(n_kept, 1)]
-        # pad to K with repeats of the first entry (masked invalid)
-        pad = np.full(K - len(order), order[0], np.int64)
-        sel = np.concatenate([order, pad])
-        sel_valid = np.zeros(K, bool)
-        sel_valid[:n_kept] = True
-
-        sel_points = pts_in[jnp.asarray(sel // 3)]
-        sel_channel = jnp.asarray(sel % 3, jnp.int32)
-        masks = self._masks_for(embedding, sel_points, sel_channel, Ry, Rx,
-                                hs=hs, ws=ws, h_in=h_in, w_in=w_in)
-
-        # back to the original resolution (reference postprocess_resize)
+    def generate_masks(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """image: (H0, W0, 3) uint8 RGB. Returns dict(masks (K, H0, W0)
+        float, boxes (K, 4) xyxy in original coords, valid (K,) bool,
+        iou_preds (K,)) with K = cfg.max_proposals. Masks are bilinearly
+        resized to the original resolution (float coverage, reference
+        postprocess_resize model/sam.py:85-100)."""
+        dev = self.generate_masks_device(image)
+        H0, W0 = dev["orig_size"]
+        hs, ws = dev["seg_size"]
+        masks = dev["masks"]
         if (H0, W0) != (hs, ws):
             My = jnp.asarray(bilinear_matrix(H0, hs))
             Mx = jnp.asarray(bilinear_matrix(W0, ws))
-            masks_f = self._resize_logits(masks.astype(jnp.float32), My, Mx)
-            masks_out = np.asarray(masks_f) > 0.5
+            masks_out = np.asarray(
+                self._resize_logits(masks.astype(jnp.float32), My, Mx))
         else:
-            masks_out = np.asarray(masks)
-        box_scale = W0 / ws
-        boxes_out = boxes_np[sel] * box_scale
+            masks_out = np.asarray(masks).astype(np.float32)
+        boxes_out = np.asarray(dev["boxes"]) * (W0 / ws)
         boxes_out[:, [0, 2]] = boxes_out[:, [0, 2]].clip(0, W0 - 1)
         boxes_out[:, [1, 3]] = boxes_out[:, [1, 3]].clip(0, H0 - 1)
-
         return dict(masks=masks_out, boxes=boxes_out.astype(np.float32),
-                    valid=sel_valid, iou_preds=iou[sel])
+                    valid=np.asarray(dev["valid"]),
+                    iou_preds=np.asarray(dev["iou_preds"]))
