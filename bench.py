@@ -22,6 +22,12 @@ import os
 import time
 
 import jax
+
+# persistent compilation cache: the tunnel makes on-device compiles slow;
+# cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

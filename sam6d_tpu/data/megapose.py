@@ -1,0 +1,274 @@
+"""MegaPose web-shard training dataset reader for PEM.
+
+Parity target: reference `Pose_Estimation_Model/provider/training_dataset.py`
+(:32-312): GSO + ShapeNet shard lookup via key_to_shard.json, per-sample
+random visible instance, mask-dilation augmentation, depth->cloud with
+model-frame outlier cut, 2048-point sampling, color augmentation, random
+SO(3) rotation + small translation augmentation, two fixed template views
+(xyz * 0.1 scale, :294).
+
+The imgaug color pipeline of the reference (gdrnpp) is approximated with a
+numpy implementation of the same op families (coarse dropout, blur,
+brightness/contrast, noise, grayscale blend) — documented deviation; it
+only affects training-time photometric augmentation.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .preprocess import (
+    get_bbox_square, get_resize_rgb_choose, normalize_rgb, bilinear_resize,
+    choose_sample)
+from ..ops.masks import rle_counts_to_mask
+
+
+def random_rotation(rng: np.random.RandomState) -> np.ndarray:
+    """Random Euler composition (reference data_utils.get_random_rotation)."""
+    a = rng.rand(3) * 2 * np.pi
+    Rx = np.array([[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])],
+                   [0, np.sin(a[0]), np.cos(a[0])]])
+    Ry = np.array([[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0],
+                   [-np.sin(a[1]), 0, np.cos(a[1])]])
+    Rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0],
+                   [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]])
+    return (Rx @ Ry @ Rz).astype(np.float32)
+
+
+def color_augment(rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Photometric augmentation approximating the reference gdrnpp imgaug
+    chain (training_dataset.py:81-99)."""
+    img = rgb.astype(np.float32)
+    if rng.rand() < 0.4:  # coarse dropout
+        h, w = img.shape[:2]
+        n = rng.randint(1, 6)
+        for _ in range(n):
+            dh, dw = max(1, int(h * 0.05)), max(1, int(w * 0.05))
+            y, x = rng.randint(0, h - dh + 1), rng.randint(0, w - dw + 1)
+            img[y:y + dh, x:x + dw] = 0
+    if rng.rand() < 0.3:  # box blur
+        k = rng.choice([3, 5])
+        pad = k // 2
+        p = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+        acc = np.zeros_like(img)
+        for dy in range(k):
+            for dx in range(k):
+                acc += p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+        img = acc / (k * k)
+    if rng.rand() < 0.3:  # brightness add
+        img = img + rng.uniform(-25, 25)
+    if rng.rand() < 0.5:  # contrast / multiply
+        img = img * rng.uniform(0.75, 1.25)
+    if rng.rand() < 0.1:  # additive gaussian noise
+        img = img + rng.randn(*img.shape) * 10
+    if rng.rand() < 0.5:  # grayscale blend
+        g = img.mean(axis=2, keepdims=True)
+        alpha = rng.rand()
+        img = img * (1 - alpha) + g * alpha
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def dilate_mask(mask: np.ndarray, iterations: int = 4) -> np.ndarray:
+    """Cross-kernel binary dilation (reference cv2.dilate MORPH_CROSS x4)."""
+    m = mask.astype(bool)
+    for _ in range(iterations):
+        up = np.zeros_like(m); up[:-1] = m[1:]
+        dn = np.zeros_like(m); dn[1:] = m[:-1]
+        lf = np.zeros_like(m); lf[:, :-1] = m[:, 1:]
+        rt = np.zeros_like(m); rt[:, 1:] = m[:, :-1]
+        m = m | up | dn | lf | rt
+    return m
+
+
+@dataclass
+class MegaPoseDataset:
+    """Training sample assembly over extracted MegaPose shards.
+
+    data_dir layout (reference): {data_dir}/MegaPose-GSO/..., with
+    key_to_shard.json mapping sample keys to shard subpaths, and per-key
+    files `{key}.{rgb.jpg,depth.png,camera.json,gt.json,gt_info.json,
+    mask_visib.json}`; templates under templates/ per object.
+    """
+    data_dir: str
+    img_size: int = 224
+    n_sample_observed: int = 2048
+    n_sample_template: int = 5000
+    min_visib_fract: float = 0.1
+    min_px_count_visib: int = 512
+    shift_range: float = 0.01
+    rgb_mask_flag: bool = True
+    dilate_mask_aug: bool = True
+    template_scale: float = 0.1  # xyz * 0.1, training_dataset.py:294
+
+    def __post_init__(self):
+        """Shard key discovery (reference training_dataset.py:49-72):
+        {base}/train_pbr_web/key_to_shard.json ->
+        {base}/train_pbr_web/shard-{s:06d}/{key}."""
+        self.keys: List[str] = []
+        self.model_info: Dict[str, List] = {}
+        for sub, models_json in [("MegaPose-GSO", "gso_models.json"),
+                                 ("MegaPose-ShapeNetCore", "shapenet_models.json")]:
+            web = os.path.join(self.data_dir, sub, "train_pbr_web")
+            p = os.path.join(web, "key_to_shard.json")
+            if os.path.exists(p):
+                mapping = json.load(open(p))
+                for key, shard in mapping.items():
+                    self.keys.append(os.path.join(
+                        sub, "train_pbr_web", f"shard-{int(shard):06d}", str(key)))
+                mj = os.path.join(web, models_json)
+                if os.path.exists(mj):
+                    self.model_info[sub] = json.load(open(mj))
+
+    def __len__(self):
+        return len(self.keys)
+
+    def _template(self, dataset_type: str, obj_id: int, idx: int,
+                  rng: np.random.RandomState):
+        """Template path resolution (reference _get_template :246-270):
+        GSO -> templates/{gso_id}; ShapeNetCore ->
+        templates/{synset_id}/{source_id}."""
+        if dataset_type == "gso":
+            info = self.model_info.get("MegaPose-GSO", [])
+            if obj_id >= len(info):
+                return None
+            base = os.path.join(self.data_dir, "MegaPose-GSO", "templates",
+                                info[obj_id]["gso_id"])
+        else:
+            info = self.model_info.get("MegaPose-ShapeNetCore", [])
+            if obj_id >= len(info):
+                return None
+            base = os.path.join(self.data_dir, "MegaPose-ShapeNetCore",
+                                "templates",
+                                info[obj_id]["shapenet_synset_id"],
+                                info[obj_id]["shapenet_source_id"])
+        rgb_p = os.path.join(base, f"rgb_{idx}.png")
+        if not os.path.exists(rgb_p):
+            return None
+        rgb = np.array(Image.open(rgb_p).convert("RGB"))
+        mask = np.array(Image.open(os.path.join(base, f"mask_{idx}.png"))) == 255
+        xyz = np.load(os.path.join(base, f"xyz_{idx}.npy")).astype(np.float32)
+
+        bbox = get_bbox_square(mask)
+        y1, y2, x1, x2 = bbox
+        m = mask[y1:y2, x1:x2]
+        r = rgb[:, :, ::-1][y1:y2, x1:x2]
+        if self.rgb_mask_flag:
+            r = r * (m[:, :, None] > 0).astype(np.uint8)
+        r = normalize_rgb(bilinear_resize(r, self.img_size, self.img_size))
+        choose = (m > 0).astype(np.float32).flatten().nonzero()[0]
+        idxs = choose_sample(len(choose), self.n_sample_template, rng)
+        choose = choose[idxs]
+        pts = xyz[y1:y2, x1:x2].reshape(-1, 3)[choose] * self.template_scale
+        rgb_choose = get_resize_rgb_choose(choose, bbox, self.img_size)
+        return r, rgb_choose, pts
+
+    def read_sample(self, key_path: str, rng: Optional[np.random.RandomState] = None):
+        """One training sample dict or None if invalid (reference
+        read_data :132-245)."""
+        rng = rng or np.random.RandomState()
+        head = os.path.join(self.data_dir, key_path)
+        try:
+            gt_info = json.load(open(head + ".gt_info.json"))
+            gts = json.load(open(head + ".gt.json"))
+            camera = json.load(open(head + ".camera.json"))
+        except (OSError, json.JSONDecodeError):
+            return None
+        valid = [k for k, it in enumerate(gt_info)
+                 if it["px_count_valid"] >= self.min_px_count_visib
+                 and it["visib_fract"] >= self.min_visib_fract]
+        if not valid:
+            return None
+        k = valid[rng.randint(len(valid))]
+        gt = gts[k]
+        obj_id = gt["obj_id"]
+        target_R = np.array(gt["cam_R_m2c"], np.float32).reshape(3, 3)
+        target_t = np.array(gt["cam_t_m2c"], np.float32).reshape(3) / 1000.0
+        K = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+
+        dataset_type = "gso" if "GSO" in key_path else "shapenet"  # from path (reference :134)
+        tem1 = self._template(dataset_type, int(obj_id), 0, rng)
+        tem2 = self._template(dataset_type, int(obj_id), 1, rng)
+        if tem1 is None or tem2 is None:
+            return None
+
+        masks_rle = json.load(open(head + ".mask_visib.json"))
+        mask = rle_counts_to_mask(
+            {"counts": masks_rle[str(k)]["counts"],
+             "size": masks_rle[str(k)]["size"]}
+            if isinstance(masks_rle, dict) else masks_rle[k])
+        if mask.sum() == 0:
+            return None
+        if self.dilate_mask_aug and rng.rand() < 0.5:
+            mask = dilate_mask(mask)
+
+        bbox = get_bbox_square(mask > 0)
+        y1, y2, x1, x2 = bbox
+        m = mask[y1:y2, x1:x2]
+        choose = m.astype(np.float32).flatten().nonzero()[0]
+
+        depth = np.array(Image.open(head + ".depth.png")).astype(np.float32)
+        depth = depth * camera["depth_scale"] / 1000.0
+        H, W = depth.shape
+        ys, xs = np.mgrid[y1:y2, x1:x2]
+        z = depth[y1:y2, x1:x2]
+        pts = np.stack([(xs - K[0, 2]) * z / K[0, 0],
+                        (ys - K[1, 2]) * z / K[1, 1], z], -1).reshape(-1, 3)[choose]
+
+        target_pts = (pts - target_t) @ target_R
+        tem_pts = np.concatenate([tem1[2], tem2[2]], axis=0)
+        radius = np.linalg.norm(tem_pts, axis=1).max()
+        flag = np.linalg.norm(target_pts, axis=1) < radius * 1.2
+        pts = pts[flag]
+        choose = choose[flag]
+        if len(choose) < 32:
+            return None
+        idxs = choose_sample(len(choose), self.n_sample_observed, rng)
+        choose = choose[idxs]
+        pts = pts[idxs]
+
+        rgb = np.array(Image.open(head + ".rgb.jpg").convert("RGB"))
+        rgb = rgb[:, :, ::-1][y1:y2, x1:x2]
+        if rng.rand() < 0.8:
+            rgb = color_augment(rgb, rng)
+        if self.rgb_mask_flag:
+            rgb = rgb * (m[:, :, None] > 0).astype(np.uint8)
+        rgb = normalize_rgb(bilinear_resize(rgb, self.img_size, self.img_size))
+        rgb_choose = get_resize_rgb_choose(choose, bbox, self.img_size)
+
+        rand_R = random_rotation(rng)
+        tem1_pts = tem1[2] @ rand_R
+        tem2_pts = tem2[2] @ rand_R
+        target_R = target_R @ rand_R
+        add_t = rng.uniform(-self.shift_range, self.shift_range, (1, 3)).astype(np.float32)
+        target_t = target_t + add_t[0]
+        pts = pts + add_t + 0.001 * rng.randn(len(pts), 3).astype(np.float32)
+
+        return dict(
+            pts=pts.astype(np.float32), rgb=rgb,
+            rgb_choose=rgb_choose.astype(np.int64),
+            rotation_label=target_R, translation_label=target_t.astype(np.float32),
+            tem1_rgb=tem1[0], tem1_choose=tem1[1].astype(np.int64),
+            tem1_pts=tem1_pts.astype(np.float32),
+            tem2_rgb=tem2[0], tem2_choose=tem2[1].astype(np.int64),
+            tem2_pts=tem2_pts.astype(np.float32), K=K,
+        )
+
+    def sample_batch(self, batch_size: int, rng=None):
+        """Rejection-sampled batch (reference _rand_another resampling)."""
+        rng = rng or np.random.RandomState()
+        out = []
+        guard = 0
+        while len(out) < batch_size and guard < batch_size * 50:
+            guard += 1
+            key = self.keys[rng.randint(len(self.keys))]
+            s = self.read_sample(key, rng)
+            if s is not None:
+                out.append(s)
+        if len(out) < batch_size:
+            raise RuntimeError("could not assemble a full batch")
+        return {k: np.stack([s[k] for s in out]) for k in out[0]}

@@ -1,0 +1,71 @@
+"""BOP eval drivers over the synthesized mini dataset with tiny models."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sam6d_tpu.pipelines.bop_eval import run_ism_bop_eval, run_pem_bop_eval
+from sam6d_tpu.pipelines.ism import ISMPipeline
+from sam6d_tpu.pipelines.pem import PEMPipeline
+from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+from sam6d_tpu.data.bop import load_bop_objects
+from sam6d_tpu.ops.masks import rle_encode_coco
+from sam6d_tpu.eval.bop_writer import format_pose_row
+from tests.test_data_providers import make_mini_bop
+from tests.test_ism_pipeline import tiny_ism_cfg, tiny_sam_cfg
+from tests.test_pem_pipeline import tiny_pem_cfg
+
+
+def test_format_pose_row():
+    row = format_pose_row(1, 2, 3, 0.5, np.eye(3), np.array([1.0, 2, 3]), 0.1)
+    parts = row.split(",")
+    assert parts[:4] == ["1", "2", "3", "0.5"]
+    assert len(parts[4].split()) == 9 and len(parts[5].split()) == 3
+
+
+@pytest.mark.slow
+def test_bop_eval_end_to_end(tmp_path):
+    make_mini_bop(tmp_path)
+    objs = load_bop_objects(str(tmp_path / "models"))
+
+    # render mini templates for the object with our rasterizer
+    from sam6d_tpu.render.templates import render_templates
+    tem_root = tmp_path / "templates" / "" / "obj_000001"
+    from sam6d_tpu.data.mesh import load_ply
+    mesh = objs[0].mesh
+    render_templates(mesh, str(tmp_path / "tobj"), level=0, image_size=64)
+    objs[0].template_dir = str(tmp_path / "tobj" / "templates")
+
+    ism_cfg = tiny_ism_cfg()
+    seg = SAMSegmentor(tiny_sam_cfg())
+    ism = ISMPipeline(ism_cfg, segmentor=seg)
+    ism.onboard_templates_from_dir(objs[0].template_dir)
+
+    out_json = str(tmp_path / "ism_result.json")
+    records = run_ism_bop_eval(ism, str(tmp_path), objs, out_json,
+                               max_frames=1)
+    assert os.path.exists(out_json)
+
+    # synthesize detections if the random-weight ISM found none
+    if not records:
+        m = np.zeros((48, 64), np.uint8)
+        m[10:40, 20:50] = 1
+        records = [dict(scene_id=0, image_id=0, category_id=1, score=0.9,
+                        bbox=[20, 10, 30, 30], time=0.1,
+                        segmentation=rle_encode_coco(m))]
+
+    pem_cfg = tiny_pem_cfg()
+    import dataclasses
+    pem_cfg = dataclasses.replace(pem_cfg, n_template_view=2,
+                                  n_sample_template_point=100,
+                                  n_sample_observed_point=pem_cfg.fine_npoint)
+    pem = PEMPipeline(pem_cfg)
+    out_csv = str(tmp_path / "pem_result.csv")
+    rows = run_pem_bop_eval(pem, str(tmp_path), objs, records, out_csv,
+                            chunk_size=4, max_frames=1)
+    assert os.path.exists(out_csv)
+    text = open(out_csv).read()
+    assert text.startswith("scene_id,im_id,obj_id,score,R,t,time")
+    if rows:
+        assert len(rows[0].split(",")) == 7
