@@ -25,20 +25,27 @@ import jax
 
 # persistent compilation cache: the tunnel makes on-device compiles slow;
 # cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
 
 REPS = int(os.environ.get("BENCH_REPS", "8"))
+_T0 = time.time()
+
+
+def _log(msg):
+    import sys
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def timed(dispatch_fn, n=REPS):
     """dispatch_fn(i) -> device array; returns avg seconds per dispatch."""
-    jnp.asarray(dispatch_fn(0)).sum().block_until_ready()
+    _log("compiling...")
     out = dispatch_fn(0)
     _ = float(jnp.asarray(out).sum())  # hard sync (transfer)
+    _log("compiled + warm")
     t0 = time.perf_counter()
     acc = None
     for i in range(n):
@@ -138,15 +145,31 @@ def main():
     instances = int(os.environ.get("BENCH_INSTANCES", "16"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
+    _log("stage: pem")
     t_pem = bench_pem(dtype, instances)
-    if mode == "pem":
+    _log(f"pem: {t_pem*1e3:.1f} ms")
+    if mode == "pem" or time.time() - _T0 > budget:
         ms = t_pem * 1e3
         print(json.dumps({"metric": "pem_batch16_ms", "value": round(ms, 2),
                           "unit": "ms", "vs_baseline": round(150.0 / ms, 3)}))
         return
 
+    _log("stage: seg")
     t_seg = bench_seg(dtype, proposals)
+    _log(f"seg: {t_seg*1e3:.1f} ms")
+    if time.time() - _T0 > budget:
+        ms = (t_pem + t_seg) * 1e3
+        print(json.dumps({"metric": "seg_pem_ms", "value": round(ms, 2),
+                          "unit": "ms", "vs_baseline": round(150.0 / ms, 3),
+                          "seg_ms": round(t_seg * 1e3, 2),
+                          "pem_ms": round(t_pem * 1e3, 2)}))
+        return
+
+    _log("stage: match")
     t_match = bench_dino_match(dtype, proposals)
+    _log(f"match: {t_match*1e3:.1f} ms")
     total_ms = (t_pem + t_seg + t_match) * 1e3
     print(json.dumps({
         "metric": "e2e_frame_ms", "value": round(total_ms, 2), "unit": "ms",

@@ -170,3 +170,30 @@ def test_nms_masked_greedy():
     same = group[:, None] == group[None, :]
     keep = np.asarray(nms_masked(iou, scores, valid, same, 0.5))
     np.testing.assert_array_equal(keep, [True, False, True, False])
+
+
+def test_native_rle_matches_python(rng):
+    from sam6d_tpu.native import rle_encode_counts, rle_decode_counts, build
+    assert build() is not None, "C toolchain expected in this environment"
+    for _ in range(5):
+        m = rng.rand(37, 53) > 0.6
+        native = rle_encode_counts(m)
+        python = mask_to_rle_counts(m)
+        assert native["counts"] == python["counts"]
+        np.testing.assert_array_equal(rle_decode_counts(native), m)
+
+
+def test_native_rle_speed(rng):
+    import time
+    from sam6d_tpu.native import rle_encode_counts
+    m = rng.rand(480, 640) > 0.5  # worst case: many runs
+    t0 = time.perf_counter()
+    for _ in range(10):
+        rle_encode_counts(m)
+    native_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        mask_to_rle_counts(m)
+    python_t = time.perf_counter() - t0
+    # informative bound only — native must not be slower
+    assert native_t < python_t * 2
