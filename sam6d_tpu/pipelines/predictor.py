@@ -1,0 +1,75 @@
+"""Prompted SAM predictor: cache one image embedding, decode many prompts.
+
+API-equivalent of reference `segment_anything/predictor.py` SamPredictor
+(:17-269): set_image once (encoder forward), then predict with point/box
+prompts at will. Used for interactive/prompted segmentation; the AMG
+pipeline (`sam_amg.py`) is the batch path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .sam_amg import (SAMSegmentor, SAM_PIXEL_MEAN, SAM_PIXEL_STD,
+                      get_preprocess_shape, bilinear_matrix)
+
+
+class SAMPredictor:
+    def __init__(self, segmentor: SAMSegmentor):
+        self.seg = segmentor
+        self._embedding = None
+        self._geom = None
+        self._decode = jax.jit(self._decode_impl,
+                               static_argnames=("h_in", "w_in", "h0", "w0"))
+
+    def set_image(self, image: np.ndarray) -> None:
+        """Compute + cache the image embedding (reference set_image)."""
+        cfg = self.seg.cfg
+        H0, W0 = image.shape[:2]
+        h_in, w_in = get_preprocess_shape(H0, W0, cfg.img_size)
+        resized = np.array(
+            Image.fromarray(image).resize((w_in, h_in), Image.BILINEAR),
+            np.float32)
+        x = (resized - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
+        canvas[:h_in, :w_in] = x
+        self._embedding = self.seg._encode(self.seg.vars, jnp.asarray(canvas[None]))[0]
+        self._geom = (H0, W0, h_in, w_in)
+
+    def _decode_impl(self, embedding, pts, labels, Ry, Rx, h_in, w_in, h0, w0):
+        dense_pe = self.seg.prompt_encoder.apply(
+            self.seg.vars["prompt_encoder"], method="dense_pe")
+        sparse, dense = self.seg.prompt_encoder.apply(
+            self.seg.vars["prompt_encoder"], pts, labels)
+        masks, iou = self.seg.mask_decoder.apply(
+            self.seg.vars["mask_decoder"], embedding, dense_pe, sparse, dense)
+        hi = self.seg._resize_logits(masks, Ry, Rx)
+        return hi, iou
+
+    def predict(self, point_coords: np.ndarray, point_labels: np.ndarray,
+                multimask_output: bool = True,
+                return_logits: bool = False):
+        """point_coords: (N, 2) xy in ORIGINAL image coords; labels (N,)
+        in {0, 1}. Returns (masks (3|1, H0, W0), iou_predictions)."""
+        assert self._embedding is not None, "call set_image first"
+        H0, W0, h_in, w_in = self._geom
+        cfg = self.seg.cfg
+        scale = np.array([w_in / W0, h_in / H0], np.float32)
+        pts = jnp.asarray(point_coords[None].astype(np.float32) * scale)
+        labels = jnp.asarray(point_labels[None].astype(np.int32))
+        low = cfg.img_size // 4
+        Ry = jnp.asarray(bilinear_matrix(H0, h_in)
+                         @ bilinear_matrix(cfg.img_size, low)[:h_in])
+        Rx = jnp.asarray(bilinear_matrix(W0, w_in)
+                         @ bilinear_matrix(cfg.img_size, low)[:w_in])
+        masks, iou = self._decode(self._embedding, pts, labels, Ry, Rx,
+                                  h_in=h_in, w_in=w_in, h0=H0, w0=W0)
+        sl = slice(1, None) if multimask_output else slice(0, 1)
+        m = np.asarray(masks[0, sl])
+        if not return_logits:
+            m = m > 0.0
+        return m, np.asarray(iou[0, sl])
