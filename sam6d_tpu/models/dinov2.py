@@ -38,6 +38,19 @@ class DinoBlock(nn.Module):
         return x
 
 
+class _ScanDinoBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = DinoBlock(self.dim, self.num_heads, self.mlp_ratio,
+                      dtype=self.dtype, name="block")(carry)
+        return y, None
+
+
 class DINOv2(nn.Module):
     """Returns (cls_token (B, C), patch_tokens (B, N, C)), both final-normed
     (x_norm_clstoken / x_norm_patchtokens of the reference forward)."""
@@ -64,9 +77,11 @@ class DINOv2(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + pos.astype(x.dtype)
-        for i in range(self.depth):
-            x = DinoBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                          dtype=self.dtype, name=f"blocks_{i}")(x)
+        # scan over stacked blocks: one-block compile regardless of depth
+        Scanned = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=self.depth)
+        x, _ = Scanned(self.embed_dim, self.num_heads, self.mlp_ratio,
+                       dtype=self.dtype, name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0], x[:, 1:]
 

@@ -156,8 +156,88 @@ class SAMBlock(nn.Module):
         return x
 
 
+class _ScanSAMBlock(nn.Module):
+    """SAM block with a runtime windowed/global switch, scan-compatible.
+
+    All params are created unconditionally (rel-pos tables padded to the
+    GLOBAL size; windowed attention slices its [:2*ws-1] prefix), then
+    `lax.cond` picks the branch per scanned step — two branch compiles
+    total instead of one per depth.
+    """
+    dim: int
+    num_heads: int
+    window_size: int
+    grid: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, is_global):
+        hd = self.dim // self.num_heads
+        L = 2 * self.grid - 1
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="attn_qkv")
+        proj = nn.Dense(self.dim, dtype=self.dtype, name="attn_proj")
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros, (L, hd))
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros, (L, hd))
+        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        mlp = MLPBlock(int(self.dim * self.mlp_ratio), self.dim,
+                       dtype=self.dtype, name="mlp")
+        # materialize lazily-initialized params OUTSIDE the cond branches
+        # (creation inside lax.cond leaks tracers during init); the dummy
+        # results are unused and DCE'd by XLA
+        _dummy = jnp.zeros((1, 1, self.dim), self.dtype)
+        _ = proj(qkv(_dummy)[..., :self.dim])
+        _ = mlp(_dummy)
+
+        def attend(h, rh, rw, hw):
+            B_, H_, W_, C = h.shape
+            heads = self.num_heads
+            q3 = qkv(h).reshape(B_, H_ * W_, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = q3[0], q3[1], q3[2]
+            attn = jnp.einsum("bhnc,bhmc->bhnm", q * (hd ** -0.5), k)
+            bias = _rel_pos_bias(q, rh, rw, hw)
+            attn = attn + bias.reshape(B_, heads, H_ * W_, H_ * W_)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
+            return proj(out.transpose(0, 2, 1, 3).reshape(B_, H_, W_, C))
+
+        def global_branch(h):
+            return attend(h, rel_h, rel_w, (self.grid, self.grid))
+
+        def window_branch(h):
+            ws = self.window_size
+            H, W = h.shape[1], h.shape[2]
+            hw_, pad_hw = window_partition(h, ws)
+            out = attend(hw_, rel_h[:2 * ws - 1], rel_w[:2 * ws - 1], (ws, ws))
+            return window_unpartition(out, ws, pad_hw, (H, W))
+
+        shortcut = x
+        h = norm1(x)
+        h = jax.lax.cond(is_global, global_branch, window_branch, h)
+        x = shortcut + h
+        x = x + mlp(norm2(x))
+        return x
+
+
+class _ScanSAMStep(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    grid: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, is_global):
+        y = _ScanSAMBlock(self.dim, self.num_heads, self.window_size,
+                          self.grid, dtype=self.dtype, name="block")(
+            carry, is_global)
+        return y, None
+
+
 class SAMImageEncoder(nn.Module):
-    """ViTDet image encoder (reference image_encoder.py:17-116)."""
+    """ViTDet image encoder (reference image_encoder.py:17-116), with the
+    depth loop as an nn.scan over stacked blocks (single-block compile)."""
     img_size: int = 1024
     patch_size: int = 16
     embed_dim: int = 1280
@@ -178,10 +258,12 @@ class SAMImageEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
         x = x + pos.astype(x.dtype)
-        for i in range(self.depth):
-            ws = 0 if i in self.global_attn_indexes else self.window_size
-            x = SAMBlock(self.embed_dim, self.num_heads, ws, grid,
-                         dtype=self.dtype, name=f"blocks_{i}")(x)
+        is_global = jnp.asarray(
+            [i in self.global_attn_indexes for i in range(self.depth)])
+        Scanned = nn.scan(_ScanSAMStep, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=self.depth)
+        x, _ = Scanned(self.embed_dim, self.num_heads, self.window_size,
+                       grid, dtype=self.dtype, name="blocks")(x, is_global)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
         x = LayerNorm2d(self.out_chans, dtype=self.dtype, name="neck_ln1")(x)

@@ -68,12 +68,31 @@ class Block(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """Block wrapped with the (carry, x) -> (carry, y) scan signature."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = Block(self.dim, self.num_heads, self.mlp_ratio,
+                  dtype=self.dtype, name="block")(carry)
+        return y, y
+
+
 class ViT(nn.Module):
     """timm-style ViT returning pyramid features.
 
     Output: list of `len(pyramid_indices)` tensors (B, 1+N, C), each passed
     through the final norm — matching reference ViT.forward
     (feature_extraction.py:21-35) with idx_nblock = [d-1-3n, d-1-2n, d-1-n, d-1].
+
+    TPU note: the depth loop is an `nn.scan` over a stacked Block — one
+    block compiles once regardless of depth (remote-compile latency through
+    the accelerator tunnel scales with program size). Converters stack the
+    per-block torch weights along axis 0 (weights/convert_pem.stack_blocks).
     """
     img_size: int = 224
     patch_size: int = 16
@@ -106,15 +125,15 @@ class ViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + pos.astype(x.dtype)
 
+        ScannedBlock = nn.scan(
+            _ScanBlock, variable_axes={"params": 0},
+            split_rngs={"params": True}, length=self.depth, out_axes=0)
+        _, inter = ScannedBlock(self.embed_dim, self.num_heads,
+                                self.mlp_ratio, dtype=self.dtype,
+                                name="blocks")(x, None)
+
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
-        keep = set(self.pyramid_indices())
-        outs = []
-        for i in range(self.depth):
-            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, name=f"blocks_{i}")(x)
-            if i in keep:
-                outs.append(final_norm(x))
-        return outs
+        return [final_norm(inter[i]) for i in self.pyramid_indices()]
 
 
 class ViTPixelDecoder(nn.Module):

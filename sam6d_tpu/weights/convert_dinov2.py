@@ -41,16 +41,13 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], *, depth: int = 24,
                               target_grid: int = 16) -> Dict:
     """dinov2_vitl14_pretrain.pth layout -> {'params': ...} for
     sam6d_tpu.models.dinov2.DINOv2 (224-input; target_grid = 224 // 14)."""
+    from .convert_pem import stack_blocks
+
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    params = {
-        "cls_token": sd["cls_token"],
-        "pos_embed": _interpolate_pos_embed(sd["pos_embed"], target_grid),
-        "patch_embed": _conv_patch(sd, "patch_embed.proj"),
-        "norm": _layernorm(sd, "norm"),
-    }
+    blocks = []
     for i in range(depth):
         b = f"blocks.{i}"
-        params[f"blocks_{i}"] = {
+        blocks.append({
             "norm1": _layernorm(sd, f"{b}.norm1"),
             "attn": {
                 "qkv": _linear(sd, f"{b}.attn.qkv"),
@@ -63,5 +60,12 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], *, depth: int = 24,
                 "fc2": _linear(sd, f"{b}.mlp.fc2"),
             },
             "ls2_gamma": sd[f"{b}.ls2.gamma"],
-        }
+        })
+    params = {
+        "cls_token": sd["cls_token"],
+        "pos_embed": _interpolate_pos_embed(sd["pos_embed"], target_grid),
+        "patch_embed": _conv_patch(sd, "patch_embed.proj"),
+        "norm": _layernorm(sd, "norm"),
+        "blocks": {"block": stack_blocks(blocks)},
+    }
     return {"params": params}

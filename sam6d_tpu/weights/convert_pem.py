@@ -40,17 +40,20 @@ def _conv_patch(sd, prefix):
     return {"kernel": w.transpose(2, 3, 1, 0), "bias": _t(sd, prefix + ".bias")}
 
 
+def stack_blocks(blocks):
+    """List of per-block param trees -> one tree with a leading depth axis
+    (the layout produced by nn.scan's variable_axes={'params': 0})."""
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
+
 def convert_vit(sd: Dict[str, np.ndarray], prefix: str, depth: int):
-    """timm-style ViT params under `prefix` -> flax ViT tree."""
-    p = {
-        "cls_token": _t(sd, f"{prefix}.cls_token"),
-        "pos_embed": _t(sd, f"{prefix}.pos_embed"),
-        "patch_embed": _conv_patch(sd, f"{prefix}.patch_embed.proj"),
-        "norm": _layernorm(sd, f"{prefix}.norm"),
-    }
+    """timm-style ViT params under `prefix` -> flax ViT tree (scanned
+    blocks: per-block weights stacked on axis 0)."""
+    blocks = []
     for i in range(depth):
         b = f"{prefix}.blocks.{i}"
-        p[f"blocks_{i}"] = {
+        blocks.append({
             "norm1": _layernorm(sd, f"{b}.norm1"),
             "attn": {
                 "qkv": _linear(sd, f"{b}.attn.qkv"),
@@ -61,8 +64,14 @@ def convert_vit(sd: Dict[str, np.ndarray], prefix: str, depth: int):
                 "fc1": _linear(sd, f"{b}.mlp.fc1"),
                 "fc2": _linear(sd, f"{b}.mlp.fc2"),
             },
-        }
-    return p
+        })
+    return {
+        "cls_token": _t(sd, f"{prefix}.cls_token"),
+        "pos_embed": _t(sd, f"{prefix}.pos_embed"),
+        "patch_embed": _conv_patch(sd, f"{prefix}.patch_embed.proj"),
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "blocks": {"block": stack_blocks(blocks)},
+    }
 
 
 def _attention_layer(sd, prefix, rpe: bool):

@@ -38,33 +38,46 @@ def _ln2d(sd, name):
             "bias": np.asarray(sd[name + ".bias"])}
 
 
-def convert_sam_encoder(sd: Dict[str, np.ndarray], depth: int):
+def convert_sam_encoder(sd: Dict[str, np.ndarray], depth: int,
+                        grid: int = 64):
+    """Per-block weights stacked for the scanned encoder; windowed rel-pos
+    tables zero-padded to the global length (the windowed branch slices its
+    prefix back out)."""
+    from .convert_pem import stack_blocks
+
     p = "image_encoder"
-    params = {
+    L = 2 * grid - 1
+    blocks = []
+    for i in range(depth):
+        b = f"{p}.blocks.{i}"
+        rh = np.asarray(sd[f"{b}.attn.rel_pos_h"])
+        rw = np.asarray(sd[f"{b}.attn.rel_pos_w"])
+        if rh.shape[0] < L:
+            rh = np.concatenate([rh, np.zeros((L - rh.shape[0], rh.shape[1]),
+                                              rh.dtype)])
+            rw = np.concatenate([rw, np.zeros((L - rw.shape[0], rw.shape[1]),
+                                              rw.dtype)])
+        blocks.append({
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "attn_qkv": _linear(sd, f"{b}.attn.qkv"),
+            "attn_proj": _linear(sd, f"{b}.attn.proj"),
+            "rel_pos_h": rh,
+            "rel_pos_w": rw,
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "mlp": {
+                "lin1": _linear(sd, f"{b}.mlp.lin1"),
+                "lin2": _linear(sd, f"{b}.mlp.lin2"),
+            },
+        })
+    return {
         "patch_embed": _conv_patch(sd, f"{p}.patch_embed.proj"),
         "pos_embed": np.asarray(sd[f"{p}.pos_embed"]),
         "neck_conv1": _conv(sd, f"{p}.neck.0"),
         "neck_ln1": _ln2d(sd, f"{p}.neck.1"),
         "neck_conv2": _conv(sd, f"{p}.neck.2"),
         "neck_ln2": _ln2d(sd, f"{p}.neck.3"),
+        "blocks": {"block": stack_blocks(blocks)},
     }
-    for i in range(depth):
-        b = f"{p}.blocks.{i}"
-        params[f"blocks_{i}"] = {
-            "norm1": _layernorm(sd, f"{b}.norm1"),
-            "attn": {
-                "qkv": _linear(sd, f"{b}.attn.qkv"),
-                "proj": _linear(sd, f"{b}.attn.proj"),
-                "rel_pos_h": np.asarray(sd[f"{b}.attn.rel_pos_h"]),
-                "rel_pos_w": np.asarray(sd[f"{b}.attn.rel_pos_w"]),
-            },
-            "norm2": _layernorm(sd, f"{b}.norm2"),
-            "mlp": {
-                "lin1": _linear(sd, f"{b}.mlp.lin1"),
-                "lin2": _linear(sd, f"{b}.mlp.lin2"),
-            },
-        }
-    return params
 
 
 def convert_sam_prompt_encoder(sd: Dict[str, np.ndarray]):
@@ -126,11 +139,12 @@ def convert_sam_mask_decoder(sd: Dict[str, np.ndarray], num_mask_tokens: int = 4
     return params
 
 
-def convert_sam_state_dict(sd: Dict[str, np.ndarray], *, depth: int = 32):
+def convert_sam_state_dict(sd: Dict[str, np.ndarray], *, depth: int = 32,
+                           grid: int = 64):
     """Full SAM checkpoint -> dict of three param trees."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
     return {
-        "image_encoder": {"params": convert_sam_encoder(sd, depth)},
+        "image_encoder": {"params": convert_sam_encoder(sd, depth, grid)},
         "prompt_encoder": {"params": convert_sam_prompt_encoder(sd)},
         "mask_decoder": {"params": convert_sam_mask_decoder(sd)},
     }

@@ -22,7 +22,7 @@ torch.manual_seed(2)
 def test_sam_encoder_parity(rng):
     tref = TorchSAMEncoder(img=64, patch=16, dim=32, depth=3, heads=4,
                            window=3, global_idx=(1,), out_ch=16).eval()
-    params = convert_sam_encoder(tref.state_dict_flat(), depth=3)
+    params = convert_sam_encoder(tref.state_dict_flat(), depth=3, grid=4)
     enc = SAMImageEncoder(img_size=64, patch_size=16, embed_dim=32, depth=3,
                           num_heads=4, window_size=3, global_attn_indexes=(1,),
                           out_chans=16)
