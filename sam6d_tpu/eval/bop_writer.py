@@ -50,3 +50,43 @@ def save_bop19_csv(path: str, rows: List[str]) -> None:
         f.write("scene_id,im_id,obj_id,score,R,t,time\n")
         for r in rows:
             f.write(r + "\n")
+
+
+def save_detections_npz(file_path: str, result: Dict, scene_id: int,
+                        frame_id: int, runtime: float,
+                        dataset_name: str = "") -> None:
+    """Per-frame npz in the reference layout (Detections.save_to_file,
+    model/utils.py:153-173): category_id, xywh bbox, score, time,
+    segmentation masks. Only valid detections are stored."""
+    v = result["valid"]
+    boxes = result["boxes"][v]
+    xywh = np.stack([boxes[:, 0], boxes[:, 1],
+                     boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], 1)
+    cat = np.array([category_id_for(dataset_name, int(o))
+                    for o in result["object_ids"][v]])
+    np.savez(file_path,
+             scene_id=scene_id, image_id=frame_id, category_id=cat,
+             score=result["scores"][v], bbox=xywh, time=runtime,
+             segmentation=result["masks"][v])
+
+
+def convert_npz_to_json(npz_path: str) -> List[Dict]:
+    """Reference convert_npz_to_json (model/utils.py:199-216): per-frame npz
+    -> BOP-23 records with COCO RLE segmentation (native codec)."""
+    from ..native import rle_encode_counts
+    from ..ops.masks import rle_encode_coco
+
+    data = np.load(npz_path)
+    out = []
+    for i in range(len(data["score"])):
+        mask = data["segmentation"][i] > 0
+        out.append({
+            "scene_id": int(data["scene_id"]),
+            "image_id": int(data["image_id"]),
+            "category_id": int(data["category_id"][i]),
+            "bbox": [float(x) for x in data["bbox"][i]],
+            "score": float(data["score"][i]),
+            "time": float(data["time"]),
+            "segmentation": rle_encode_coco(mask),
+        })
+    return out

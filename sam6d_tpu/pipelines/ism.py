@@ -148,6 +148,60 @@ class ISMPipeline:
         if pointclouds is not None:
             self.ref_data["pointcloud"] = pointclouds
 
+    def onboard_bop_objects(self, objects, cache_path: Optional[str] = None,
+                            n_template_view: int = 42,
+                            reset_descriptors: bool = False,
+                            poses: Optional[np.ndarray] = None):
+        """Onboard all objects of a BOP dataset from their rendered template
+        dirs, with an npz cache (reference detector.set_reference_objects
+        :65-134 caches descriptors.pth/descriptors_appe.pth beside the
+        templates; `reset_descriptors` invalidates)."""
+        from ..core.checkpoint import load_template_cache, save_template_cache
+
+        if cache_path and not reset_descriptors:
+            cached = load_template_cache(cache_path)
+            if cached is not None:
+                self.set_reference_data(
+                    jnp.asarray(cached["descriptors"]),
+                    jnp.asarray(cached["appe_descriptors"]),
+                    jnp.asarray(cached["poses_R"]))
+                return self.ref_data
+
+        S = self.cfg.dinov2.img_size
+        all_cls, all_patch = [], []
+        for obj in objects:
+            rgbs, masks, boxes = [], [], []
+            for v in range(n_template_view):
+                rgb, mask, _ = obj.load_template(v)
+                ys, xs = np.where(mask)
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+                rgbs.append(rgb.astype(np.float32) / 255.0 * mask[..., None])
+                masks.append(mask.astype(np.float32))
+            rgbs = jnp.asarray(np.stack(rgbs))
+            masks_j = jnp.asarray(np.stack(masks))
+            boxes_j = jnp.asarray(np.array(boxes, np.float32))
+            crops = jax.vmap(lambda im, b: crop_resize_pad_nearest(im, b[None], S)[0])(
+                rgbs, boxes_j)
+            mask_crops = jax.vmap(
+                lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
+                masks_j, boxes_j)
+            cls, patch = self._describe_templates(crops, mask_crops)
+            all_cls.append(cls)
+            all_patch.append(patch)
+
+        if poses is None:
+            poses = template_obj_poses(0)
+        self.set_reference_data(
+            jnp.stack(all_cls), jnp.stack(all_patch),
+            jnp.asarray(poses[:, :3, :3].astype(np.float32)))
+        if cache_path:
+            save_template_cache(
+                cache_path,
+                descriptors=self.ref_data["descriptors"],
+                appe_descriptors=self.ref_data["appe_descriptors"],
+                poses_R=self.ref_data["poses_R"])
+        return self.ref_data
+
     # -------------------------------------------------------------- matching
 
     def _score_frame_impl(self, rgb01, masks, boxes, valid, depth, K,

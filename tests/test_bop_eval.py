@@ -69,3 +69,56 @@ def test_bop_eval_end_to_end(tmp_path):
     assert text.startswith("scene_id,im_id,obj_id,score,R,t,time")
     if rows:
         assert len(rows[0].split(",")) == 7
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    from sam6d_tpu.eval.bop_writer import save_detections_npz, convert_npz_to_json
+    K = 4
+    result = dict(
+        valid=np.array([True, True, False, True]),
+        boxes=rng.rand(K, 4).astype(np.float32) * 50,
+        object_ids=np.array([0, 1, 0, 2]),
+        scores=rng.rand(K).astype(np.float32),
+        masks=(rng.rand(K, 24, 32) > 0.5).astype(np.float32),
+    )
+    result["boxes"][:, 2:] += 60
+    p = str(tmp_path / "frame.npz")
+    save_detections_npz(p, result, scene_id=3, frame_id=7, runtime=0.5)
+    recs = convert_npz_to_json(p)
+    assert len(recs) == 3
+    assert recs[0]["scene_id"] == 3 and recs[0]["image_id"] == 7
+    from sam6d_tpu.ops.masks import rle_decode_coco
+    np.testing.assert_array_equal(
+        rle_decode_coco(recs[0]["segmentation"]), result["masks"][0] > 0)
+
+
+def test_onboard_bop_objects_with_cache(tmp_path, rng):
+    import jax.numpy as jnp
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+    from sam6d_tpu.data.bop import BOPObject
+    from sam6d_tpu.data.mesh import Mesh
+    from PIL import Image
+    from tests.test_ism_pipeline import tiny_ism_cfg
+
+    tdir = tmp_path / "tem"
+    tdir.mkdir()
+    for i in range(3):
+        rgb = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        m = np.zeros((48, 48), np.uint8)
+        m[10:40, 10:40] = 255
+        Image.fromarray(rgb).save(tdir / f"rgb_{i}.png")
+        Image.fromarray(m).save(tdir / f"mask_{i}.png")
+        np.save(tdir / f"xyz_{i}.npy", rng.rand(48, 48, 3).astype(np.float32))
+    obj = BOPObject(1, Mesh(np.zeros((3, 3), np.float32),
+                            np.zeros((1, 3), np.int32)), 30.0, False,
+                    template_dir=str(tdir))
+    pipe = ISMPipeline(tiny_ism_cfg())
+    cache = str(tmp_path / "desc.npz")
+    ref = pipe.onboard_bop_objects([obj], cache_path=cache, n_template_view=3)
+    assert ref["descriptors"].shape[0] == 1
+    assert os.path.exists(cache)
+    # cache hit path
+    pipe2 = ISMPipeline(tiny_ism_cfg())
+    ref2 = pipe2.onboard_bop_objects([obj], cache_path=cache, n_template_view=3)
+    np.testing.assert_allclose(np.asarray(ref2["descriptors"]),
+                               np.asarray(ref["descriptors"]), atol=1e-6)
