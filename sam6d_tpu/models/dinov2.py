@@ -30,11 +30,12 @@ class DinoBlock(nn.Module):
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + ls1 * Attention(self.dim, self.num_heads, dtype=self.dtype,
-                                name="attn")(h)
+        x = x + ls1.astype(x.dtype) * Attention(
+            self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + ls2 * MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
-                               dtype=self.dtype, name="mlp")(h)
+        x = x + ls2.astype(x.dtype) * MlpBlock(
+            int(self.dim * self.mlp_ratio), self.dim,
+            dtype=self.dtype, name="mlp")(h)
         return x
 
 
