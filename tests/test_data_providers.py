@@ -151,3 +151,39 @@ def test_megapose_dataset(tmp_path):
     assert np.abs(s["tem1_pts"]).max() <= 0.1 * np.sqrt(3) + 1e-5
     batch = ds.sample_batch(2, np.random.RandomState(1))
     assert batch["pts"].shape == (2, 64, 3)
+
+
+def test_pbr_template_miner(tmp_path, rng):
+    from sam6d_tpu.data.bop_pbr import PBRTemplateMiner, rotation_geodesic
+    from sam6d_tpu.render.poses import template_obj_poses
+    # mini train_pbr scene
+    sd = tmp_path / "train_pbr" / "000000"
+    (sd / "rgb").mkdir(parents=True)
+    (sd / "mask_visib").mkdir()
+    poses = template_obj_poses(0)[:, :3, :3]
+    gt, gt_info = {}, {}
+    for i in range(6):
+        rgb = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(sd / "rgb" / f"{i:06d}.jpg")
+        m = np.zeros((32, 32), np.uint8)
+        m[8:24, 8:24] = 255
+        Image.fromarray(m).save(sd / "mask_visib" / f"{i:06d}_000000.png")
+        gt[str(i)] = [{"obj_id": 1,
+                       "cam_R_m2c": list(poses[i * 7].reshape(-1).astype(float)),
+                       "cam_t_m2c": [0, 0, 500]}]
+        gt_info[str(i)] = [{"visib_fract": 0.95}]
+    json.dump(gt, open(sd / "scene_gt.json", "w"))
+    json.dump(gt_info, open(sd / "scene_gt_info.json", "w"))
+
+    miner = PBRTemplateMiner(str(tmp_path))
+    mined = miner.mine()
+    assert 1 in mined and len(mined[1]) == 42
+    # the exact-match viewpoints must select their own candidates
+    for i in range(6):
+        rec = mined[1][i * 7]
+        assert rec["im_id"] == i
+    rgb, mask = miner.load_template_crop(mined[1][0])
+    assert rgb.shape == (32, 32, 3) and mask.sum() > 0
+    # geodesic distance sanity
+    d = rotation_geodesic(poses[:2], poses[:2])
+    assert d[0, 0] < 1e-4 and d[0, 1] > 0.1
