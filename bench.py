@@ -97,7 +97,7 @@ def bench_seg(dtype, proposals: int):
     def dispatch(i):
         emb = seg._encode(seg.vars, canvas_j + i * 1e-6)[0]
         masks, boxes, valid, iou = seg._propose(
-            emb, pts, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+            seg.vars, emb, pts, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
         return boxes
 
     return timed(dispatch)
@@ -131,7 +131,7 @@ def bench_dino_match(dtype, proposals: int):
 
     def dispatch(i):
         out = pipe._score_frame(
-            rgb01 + i * 1e-6, masks, boxes, valid, depth, K,
+            pipe.dinov2_vars, rgb01 + i * 1e-6, masks, boxes, valid, depth, K,
             jnp.float32(1.0), ref_desc, ref_appe, poses_R, clouds,
             apply_nms=True)
         return out["scores"]

@@ -45,15 +45,16 @@ class FastSAMSegmentor:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3)))
         self.vars = variables
+        # variables are an explicit jit arg (no weight constants)
         self._predict = jax.jit(self._predict_impl,
                                 static_argnames=("h_in", "w_in"))
 
-    def _predict_impl(self, img, h_in, w_in):
+    def _predict_impl(self, v, img, h_in, w_in):
         """img: (1, imgsz, imgsz, 3). Returns masked fixed-capacity
         (boxes (D, 4), scores (D,), valid (D,), masks (D, imgsz/4, imgsz/4))
         in letterboxed-image coordinates."""
         cfg = self.cfg
-        preds, protos = self.net.apply(self.vars, img)
+        preds, protos = self.net.apply(v, img)
         p = preds[0]                      # (A, 4 + 1 + nm)
         boxes = p[:, :4]
         scores = p[:, 4]
@@ -94,7 +95,7 @@ class FastSAMSegmentor:
         canvas[:h_in, :w_in] = resized
 
         boxes, scores, valid, masks = self._predict(
-            jnp.asarray(canvas[None]), h_in=h_in, w_in=w_in)
+            self.vars, jnp.asarray(canvas[None]), h_in=h_in, w_in=w_in)
 
         # masks: proto res -> crop valid region -> original size (bilinear)
         Hp = cfg.imgsz // 4

@@ -43,6 +43,8 @@ class ISMPipeline:
         self.dinov2_vars = dinov2_variables
         self.segmentor = segmentor
         self.ref_data: Dict[str, jnp.ndarray] = {}
+        # variables are explicit args of every jit (closures would embed
+        # the DINOv2-L weights as compile-time constants)
         self._describe = jax.jit(self._describe_impl)
         self._describe_templates = jax.jit(self._describe_templates_impl)
         self._score_frame = jax.jit(self._score_frame_impl,
@@ -50,24 +52,24 @@ class ISMPipeline:
 
     # ------------------------------------------------------------- internals
 
-    def _dino_forward_chunked(self, images):
+    def _dino_forward_chunked(self, v, images):
         """(N, S, S, 3) -> (cls (N, C), patch (N, P, C)); N % chunk == 0."""
         chunk = self.cfg.dinov2.chunk_size
         N = images.shape[0]
         if N <= chunk:
-            return self.dinov2.apply(self.dinov2_vars, images)
+            return self.dinov2.apply(v, images)
         pad = (-N) % chunk
         if pad:
             images = jnp.concatenate(
                 [images, jnp.broadcast_to(images[:1], (pad, *images.shape[1:]))])
         images = images.reshape(-1, chunk, *images.shape[1:])
         cls, patch = jax.lax.map(
-            lambda x: self.dinov2.apply(self.dinov2_vars, x), images)
+            lambda x: self.dinov2.apply(v, x), images)
         cls = cls.reshape(-1, cls.shape[-1])[:N]
         patch = patch.reshape(-1, *patch.shape[2:])[:N]
         return cls, patch
 
-    def _describe_impl(self, rgb01, masks, boxes):
+    def _describe_impl(self, v, rgb01, masks, boxes):
         """Query proposals -> (cls descriptors, masked patch descriptors).
 
         rgb01: (H, W, 3) float in [0,1]; masks: (K, H, W) float; boxes (K, 4).
@@ -84,15 +86,15 @@ class ISMPipeline:
             lambda m, box: crop_resize_pad_nearest(m[..., None], box[None],
                                                    d.img_size)[0, ..., 0]
         )(masks, boxes)
-        cls, patch = self._dino_forward_chunked(crops)
+        cls, patch = self._dino_forward_chunked(v, crops)
         patch = masked_patch_descriptors(patch, mask_crops, d.patch_size,
                                          d.validity_thresh)
         return cls, patch
 
-    def _describe_templates_impl(self, images, masks):
+    def _describe_templates_impl(self, v, images, masks):
         """Template stacks (T, S, S, 3) already cropped/padded + their mask
         crops -> (cls (T, C), patch (T, P, C))."""
-        cls, patch = self._dino_forward_chunked(images)
+        cls, patch = self._dino_forward_chunked(v, images)
         patch = masked_patch_descriptors(patch, masks, self.cfg.dinov2.patch_size,
                                          self.cfg.dinov2.validity_thresh)
         return cls, patch
@@ -128,7 +130,7 @@ class ISMPipeline:
         mask_crops = jax.vmap(
             lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
             masks, boxes)
-        cls, patch = self._describe_templates(crops, mask_crops)
+        cls, patch = self._describe_templates(self.dinov2_vars, crops, mask_crops)
         if poses is None:
             poses = template_obj_poses(0)
         self.ref_data = {
@@ -185,7 +187,7 @@ class ISMPipeline:
             mask_crops = jax.vmap(
                 lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
                 masks_j, boxes_j)
-            cls, patch = self._describe_templates(crops, mask_crops)
+            cls, patch = self._describe_templates(self.dinov2_vars, crops, mask_crops)
             all_cls.append(cls)
             all_patch.append(patch)
 
@@ -204,7 +206,7 @@ class ISMPipeline:
 
     # -------------------------------------------------------------- matching
 
-    def _score_frame_impl(self, rgb01, masks, boxes, valid, depth, K,
+    def _score_frame_impl(self, v, rgb01, masks, boxes, valid, depth, K,
                           depth_scale, ref_desc, ref_appe_all, poses_R_all,
                           pointclouds, apply_nms: bool):
         """Fused per-frame matching: size filters, descriptors, all three
@@ -219,7 +221,7 @@ class ISMPipeline:
         valid = valid & (mask_areas > cfg.post.min_mask_size)
 
         cls_desc, patch_desc = self._describe_impl(
-            rgb01, masks, boxes.astype(jnp.int32))
+            v, rgb01, masks, boxes.astype(jnp.int32))
 
         sem = ism_scoring.semantic_scores(
             cls_desc, ref_desc, valid,
@@ -289,7 +291,7 @@ class ISMPipeline:
 
         rgb01 = jnp.asarray(rgb.astype(np.float32) / 255.0)
         out = self._score_frame(
-            rgb01, masks, boxes, valid,
+            self.dinov2_vars, rgb01, masks, boxes, valid,
             jnp.asarray(depth.astype(np.float32)),
             jnp.asarray(K.astype(np.float32)),
             jnp.asarray(np.float32(depth_scale)),

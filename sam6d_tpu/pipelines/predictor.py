@@ -40,13 +40,13 @@ class SAMPredictor:
         self._embedding = self.seg._encode(self.seg.vars, jnp.asarray(canvas[None]))[0]
         self._geom = (H0, W0, h_in, w_in)
 
-    def _decode_impl(self, embedding, pts, labels, Ry, Rx, h_in, w_in, h0, w0):
+    def _decode_impl(self, v, embedding, pts, labels, Ry, Rx, h_in, w_in, h0, w0):
         dense_pe = self.seg.prompt_encoder.apply(
-            self.seg.vars["prompt_encoder"], method="dense_pe")
+            v["prompt_encoder"], method="dense_pe")
         sparse, dense = self.seg.prompt_encoder.apply(
-            self.seg.vars["prompt_encoder"], pts, labels)
+            v["prompt_encoder"], pts, labels)
         masks, iou = self.seg.mask_decoder.apply(
-            self.seg.vars["mask_decoder"], embedding, dense_pe, sparse, dense)
+            v["mask_decoder"], embedding, dense_pe, sparse, dense)
         hi = self.seg._resize_logits(masks, Ry, Rx)
         return hi, iou
 
@@ -66,8 +66,8 @@ class SAMPredictor:
                          @ bilinear_matrix(cfg.img_size, low)[:h_in])
         Rx = jnp.asarray(bilinear_matrix(W0, w_in)
                          @ bilinear_matrix(cfg.img_size, low)[:w_in])
-        masks, iou = self._decode(self._embedding, pts, labels, Ry, Rx,
-                                  h_in=h_in, w_in=w_in, h0=H0, w0=W0)
+        masks, iou = self._decode(self.seg.vars, self._embedding, pts, labels,
+                                  Ry, Rx, h_in=h_in, w_in=w_in, h0=H0, w0=W0)
         sl = slice(1, None) if multimask_output else slice(0, 1)
         m = np.asarray(masks[0, sl])
         if not return_logits:

@@ -89,6 +89,9 @@ class SAMSegmentor:
         self.points = build_point_grid(cfg.points_per_side)
         self._encode = jax.jit(
             lambda v, x: self.encoder.apply(v["image_encoder"], x))
+        # NOTE: all jitted entry points take the variables pytree as an
+        # explicit argument — closing over it would embed the weights as
+        # compile-time constants (catastrophic for compile time/size).
         self._score_all = jax.jit(self._score_all_impl,
                                   static_argnames=("hs", "ws", "h_in", "w_in"))
         self._masks_for = jax.jit(self._masks_for_impl,
@@ -113,10 +116,9 @@ class SAMSegmentor:
 
     # -------------------------------------------------------------- internals
 
-    def _decode_chunk(self, embedding, dense_pe, pts):
+    def _decode_chunk(self, v, embedding, dense_pe, pts):
         """pts: (chunk, 2) coords in the 1024-frame. Returns
         (low-res masks (chunk, 3, 256, 256), iou (chunk, 3))."""
-        v = self.vars
         labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
         sparse, dense = self.prompt_encoder.apply(
             v["prompt_encoder"], pts[:, None, :], labels)
@@ -129,16 +131,16 @@ class SAMSegmentor:
         out = jnp.einsum("ah,...hw->...aw", Ry, masks)
         return jnp.einsum("bw,...aw->...ab", Rx, out)
 
-    def _score_all_impl(self, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
+    def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
         """Score all prompts. Returns (iou (3P,), stability (3P,),
         boxes (3P, 4)) in segmentor-resolution coords."""
         cfg = self.cfg
         dense_pe = self.prompt_encoder.apply(
-            self.vars["prompt_encoder"], method="dense_pe")
+            v["prompt_encoder"], method="dense_pe")
         chunk = cfg.points_per_batch
 
         def one(pts):
-            masks, iou = self._decode_chunk(embedding, dense_pe, pts)
+            masks, iou = self._decode_chunk(v, embedding, dense_pe, pts)
             hi = self._resize_logits(masks, Ry, Rx)  # (chunk, 3, Hs, Ws)
             inter = jnp.sum(hi > cfg.stability_score_offset, axis=(-1, -2))
             union = jnp.sum(hi > -cfg.stability_score_offset, axis=(-1, -2))
@@ -152,18 +154,18 @@ class SAMSegmentor:
         iou, stab, boxes = jax.lax.map(one, pts)
         return iou.reshape(-1), stab.reshape(-1), boxes.reshape(-1, 4)
 
-    def _masks_for_impl(self, embedding, sel_points, sel_channel, Ry, Rx,
+    def _masks_for_impl(self, v, embedding, sel_points, sel_channel, Ry, Rx,
                         hs, ws, h_in, w_in):
         """Recompute masks for selected (point, channel) pairs ->
         (K, Hs, Ws) bool."""
         dense_pe = self.prompt_encoder.apply(
-            self.vars["prompt_encoder"], method="dense_pe")
+            v["prompt_encoder"], method="dense_pe")
         chunk = min(self.cfg.points_per_batch, sel_points.shape[0])
         K = sel_points.shape[0]
 
         def one(args):
             pts, ch = args
-            masks, _ = self._decode_chunk(embedding, dense_pe, pts)
+            masks, _ = self._decode_chunk(v, embedding, dense_pe, pts)
             low = jnp.take_along_axis(masks, ch[:, None, None, None], axis=1)[:, 0]
             hi = self._resize_logits(low, Ry, Rx)
             return hi > 0.0
@@ -173,7 +175,7 @@ class SAMSegmentor:
         out = jax.lax.map(one, (pts, chs))
         return out.reshape(K, hs, ws)
 
-    def _propose_impl(self, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
+    def _propose_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
         """Fused AMG tail: score all candidates, filter (pred-IoU,
         stability), box-NMS, select top-K, recompute masks for the
         selection — one device program, zero host round-trips.
@@ -181,7 +183,7 @@ class SAMSegmentor:
         """
         cfg = self.cfg
         iou, stab, boxes = self._score_all_impl(
-            embedding, points, Ry, Rx, hs, ws, h_in, w_in)
+            v, embedding, points, Ry, Rx, hs, ws, h_in, w_in)
         valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
         iou_mat = box_iou(boxes, boxes)
         same = jnp.ones((iou.shape[0], iou.shape[0]), bool)
@@ -193,7 +195,7 @@ class SAMSegmentor:
         sel_valid = keep[order]
         sel_points = points[order // 3]
         sel_channel = (order % 3).astype(jnp.int32)
-        masks = self._masks_for_impl(embedding, sel_points, sel_channel,
+        masks = self._masks_for_impl(v, embedding, sel_points, sel_channel,
                                      Ry, Rx, hs, ws, h_in, w_in)
         return masks, boxes[order], sel_valid, iou[order]
 
@@ -241,7 +243,8 @@ class SAMSegmentor:
         Ry, Rx, pts_in = self.frame_constants(hs, ws, h_in, w_in)
         embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
         masks, boxes, valid, iou = self._propose(
-            embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+            self.vars, embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in,
+            w_in=w_in)
         return dict(masks=masks, boxes=boxes, valid=valid, iou_preds=iou,
                     orig_size=(H0, W0), seg_size=(hs, ws))
 
