@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import PEMConfig
-from .vit import ViTEncoder, gather_pixel_feats
+from .vit import ViTEncoder, gather_pixel_feats, sample_pixel_feats
 from .geo_transformer import GeometricStructureEmbedding
 from .coarse_matching import CoarsePointMatching
 from .fine_matching import FinePointMatching
@@ -73,10 +73,13 @@ class PEMNet(nn.Module):
     # ----------------------------------------------------------------- utils
 
     def extract_img_feats(self, rgb, rgb_choose):
-        """Per-pixel features gathered at observed pixels
-        (reference ViTEncoder.get_img_feats)."""
-        fmap, _ = self.feature_extraction(rgb)
-        return gather_pixel_feats(fmap, rgb_choose)
+        """Per-pixel features at observed pixels (reference
+        ViTEncoder.get_img_feats). The reference bilinearly upsamples the
+        56^2 map to 224^2 and gathers; here the upsample+gather is fused
+        (sample_pixel_feats) — same values, ~GBs less HBM traffic."""
+        fmap_low, _ = self.feature_extraction(rgb, full_res=False)
+        return sample_pixel_feats(fmap_low, rgb_choose,
+                                  (rgb.shape[1], rgb.shape[2]))
 
     def extract_template_feats(self, tem_rgb, tem_choose, tem_pts,
                                valid_mask=None, npoint: int | None = None):

@@ -139,15 +139,18 @@ class ViT(nn.Module):
 class ViTPixelDecoder(nn.Module):
     """Linear pixel-shuffle upscaling head (reference ViT_AE 'linear' branch,
     feature_extraction.py:66-67,109-112): concat 4 pyramid levels ->
-    Linear(4C -> 16*out_dim) -> 4x4 shuffle to 56x56 -> bilinear to HxW."""
+    Linear(4C -> 16*out_dim) -> 4x4 shuffle to 56x56 [-> bilinear to HxW]."""
     embed_dim: int = 768
     out_dim: int = 256
     use_pyramid_feat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pyramid, out_hw):
-        """pyramid: list of (B, N, C) patch tokens (no cls); out_hw: (H, W)."""
+    def __call__(self, pyramid, out_hw=None):
+        """pyramid: list of (B, N, C) patch tokens (no cls). Returns the
+        low-res (B, 4g, 4g, out_dim) map, bilinearly upsampled to `out_hw`
+        if given (prefer sample_pixel_feats — upsampling the full map just
+        to gather a few thousand pixels wastes GBs of HBM traffic)."""
         if self.use_pyramid_feat:
             x = jnp.concatenate(pyramid, axis=2)
         else:
@@ -158,9 +161,47 @@ class ViTPixelDecoder(nn.Module):
         x = x.reshape(B, g, g, 4, 4, self.out_dim)
         # (B, h14, w14, a4, b4, C) -> (B, h14, a4, w14, b4, C) -> (B, 4g, 4g, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * g, 4 * g, self.out_dim)
-        H, W = out_hw
-        x = jax.image.resize(x, (B, H, W, self.out_dim), method="bilinear")
+        if out_hw is not None:
+            H, W = out_hw
+            x = jax.image.resize(x, (B, H, W, self.out_dim), method="bilinear")
         return x
+
+
+def sample_pixel_feats(fmap_low: jnp.ndarray, choose: jnp.ndarray,
+                       out_hw) -> jnp.ndarray:
+    """Bilinearly sample the low-res map at chosen full-res pixels — the
+    fusion of `resize(fmap, (H, W)) [gather choose]` without materializing
+    the (B, H, W, C) map. Exactly matches jax.image.resize 'bilinear'
+    (half-pixel centers, edge clamp).
+
+    fmap_low: (B, g, g, C); choose: (B, M) flat row-major indices into
+    (H, W); out_hw: (H, W). Returns (B, M, C)."""
+    B, g, _, C = fmap_low.shape
+    H, W = out_hw
+    row = (choose // W).astype(jnp.float32)
+    col = (choose % W).astype(jnp.float32)
+    sy = g / H
+    sx = g / W
+    fy = (row + 0.5) * sy - 0.5
+    fx = (col + 0.5) * sx - 0.5
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = fy - y0
+    wx = fx - x0
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, g - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, g - 1)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, g - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, g - 1)
+    flat = fmap_low.reshape(B, g * g, C)
+
+    def take(y, x):
+        return jnp.take_along_axis(flat, (y * g + x)[..., None], axis=1)
+
+    wy = wy[..., None].astype(flat.dtype)
+    wx = wx[..., None].astype(flat.dtype)
+    top = take(y0c, x0c) * (1 - wx) + take(y0c, x1c) * wx
+    bot = take(y1c, x0c) * (1 - wx) + take(y1c, x1c) * wx
+    return top * (1 - wy) + bot * wy
 
 
 class ViTEncoder(nn.Module):
@@ -180,7 +221,7 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, full_res: bool = True):
         H, W = x.shape[1], x.shape[2]
         outs = ViT(self.img_size, self.patch_size, self.embed_dim, self.depth,
                    self.num_heads, self.mlp_ratio, dtype=self.dtype, name="vit")(x)
@@ -188,7 +229,8 @@ class ViTEncoder(nn.Module):
         patch = [o[:, 1:, :] for o in outs]
         fmap = ViTPixelDecoder(self.embed_dim, self.out_dim,
                                self.use_pyramid_feat, dtype=self.dtype,
-                               name="decoder")(patch, (H, W))
+                               name="decoder")(
+            patch, (H, W) if full_res else None)
         return fmap, cls_tokens
 
 

@@ -157,3 +157,16 @@ def test_vit_encoder_shapes(rng):
     # gather correctness
     f = np.asarray(fmap).reshape(2, -1, 32)
     np.testing.assert_array_equal(np.asarray(feats)[0], f[0][np.asarray(choose)[0]])
+
+
+def test_sample_pixel_feats_matches_full_resize(rng):
+    """Fused low-res sampling == full bilinear upsample + gather."""
+    import jax.image
+    from sam6d_tpu.models.vit import sample_pixel_feats
+    B, g, C, H, W = 2, 14, 8, 56, 56
+    fmap = jnp.asarray(rng.randn(B, g, g, C).astype(np.float32))
+    full = jax.image.resize(fmap, (B, H, W, C), method="bilinear")
+    choose = jnp.asarray(rng.randint(0, H * W, (B, 300)))
+    want = np.asarray(gather_pixel_feats(full, choose))
+    got = np.asarray(sample_pixel_feats(fmap, choose, (H, W)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
