@@ -6,10 +6,10 @@ masks), DINOv2-L descriptors + three-score matching, and the PEM pose
 network for a 16-instance batch — random weights (latency is
 weight-independent).
 
-Timing methodology: the tunnel to the chip makes per-transfer sync costly
-and `block_until_ready` unreliable, so each stage is dispatched N times with
-varying inputs and synchronized ONCE by a small checksum transfer; reported
-latency = total / N (amortizes the single sync).
+Timing methodology: the tunnel to the chip adds 3-36 ms of variable
+overhead per dispatch, so each stage is repeated INSIDE one jitted
+lax.fori_loop; latency = (t(R=12) - t(R=2)) / 10, which cancels dispatch,
+transfer, and sync costs exactly.
 
 Prints ONE json line:
   {"metric": "e2e_frame_ms", "value": ..., "unit": "ms", "vs_baseline": ...}
@@ -40,19 +40,32 @@ def _log(msg):
     print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def timed(dispatch_fn, n=REPS):
-    """dispatch_fn(i) -> device array; returns avg seconds per dispatch."""
+R_LO, R_HI = 2, 12
+
+
+def timed(body_fn, n_outer=3):
+    """body_fn(i) -> scalar contribution; repeated inside one jit via
+    lax.fori_loop. Returns seconds per body evaluation measured as the
+    slope between R_HI and R_LO repetitions (dispatch/sync costs cancel)."""
+    def looped(r):
+        def run():
+            return jax.lax.fori_loop(
+                0, r, lambda i, acc: acc + body_fn(i), jnp.float32(0.0))
+        return jax.jit(run, static_argnums=())
+
+    lo = jax.jit(lambda: jax.lax.fori_loop(
+        0, R_LO, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
+    hi = jax.jit(lambda: jax.lax.fori_loop(
+        0, R_HI, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
     _log("compiling...")
-    out = dispatch_fn(0)
-    _ = float(jnp.asarray(out).sum())  # hard sync (transfer)
+    float(lo())
+    float(hi())
     _log("compiled + warm")
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(n):
-        out = dispatch_fn(i + 1)
-        acc = jnp.asarray(out).sum() + (0.0 if acc is None else acc)
-    _ = float(acc)  # one sync for the whole batch
-    return (time.perf_counter() - t0) / n
+    t_lo = t_hi = 0.0
+    for _ in range(n_outer):
+        t0 = time.perf_counter(); float(lo()); t_lo += time.perf_counter() - t0
+        t0 = time.perf_counter(); float(hi()); t_hi += time.perf_counter() - t0
+    return max((t_hi - t_lo) / n_outer / (R_HI - R_LO), 1e-6)
 
 
 def bench_pem(dtype, instances: int):
@@ -73,12 +86,14 @@ def bench_pem(dtype, instances: int):
     )
     variables = jax.jit(lambda: net.init(
         {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))()
-    fwd = jax.jit(lambda v, i, k: net.apply(v, i, k)["pred_R"])
+    key = jax.random.PRNGKey(0)
 
-    def dispatch(i):
-        return fwd(variables, inputs, jax.random.PRNGKey(i))
+    def body(i):
+        inp = dict(inputs, rgb=inputs["rgb"] + i.astype(jnp.float32) * 1e-6)
+        out = net.apply(variables, inp, jax.random.fold_in(key, i))
+        return jnp.sum(out["pred_R"]).astype(jnp.float32)
 
-    return timed(dispatch)
+    return timed(body)
 
 
 def bench_seg(dtype, proposals: int):
@@ -94,13 +109,14 @@ def bench_seg(dtype, proposals: int):
     Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
     canvas_j = jnp.asarray(canvas[None])
 
-    def dispatch(i):
-        emb = seg._encode(seg.vars, canvas_j + i * 1e-6)[0]
-        masks, boxes, valid, iou = seg._propose(
-            seg.vars, emb, pts, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
-        return boxes
+    def body(i):
+        emb = seg.encoder.apply(seg.vars["image_encoder"],
+                                canvas_j + i.astype(jnp.float32) * 1e-6)[0]
+        masks, boxes, valid, iou = seg._propose_impl(
+            seg.vars, emb, pts, Ry, Rx, hs, ws, h_in, w_in)
+        return jnp.sum(boxes).astype(jnp.float32)
 
-    return timed(dispatch)
+    return timed(body)
 
 
 def bench_dino_match(dtype, proposals: int):
@@ -129,14 +145,14 @@ def bench_dino_match(dtype, proposals: int):
     poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
     clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
 
-    def dispatch(i):
-        out = pipe._score_frame(
-            pipe.dinov2_vars, rgb01 + i * 1e-6, masks, boxes, valid, depth, K,
-            jnp.float32(1.0), ref_desc, ref_appe, poses_R, clouds,
-            apply_nms=True)
-        return out["scores"]
+    def body(i):
+        out = pipe._score_frame_impl(
+            pipe.dinov2_vars, rgb01 + i.astype(jnp.float32) * 1e-6, masks,
+            boxes, valid, depth, K, jnp.float32(1.0), ref_desc, ref_appe,
+            poses_R, clouds, apply_nms=True)
+        return jnp.sum(out["scores"]).astype(jnp.float32)
 
-    return timed(dispatch)
+    return timed(body)
 
 
 def main():

@@ -48,38 +48,42 @@ def _jacobi_rotation(app, aqq, apq):
     return c, s
 
 
-def _apply_jacobi(A, V, p, q):
-    """One Jacobi rotation on index pair (p, q) for batched A (..., 3, 3)."""
-    c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q])
-    # Build batched rotation via explicit row updates (p, q static ints).
-    c_ = c[..., None]
-    s_ = s[..., None]
-    Ap = A[..., p, :]
-    Aq = A[..., q, :]
-    A = A.at[..., p, :].set(c_ * Ap - s_ * Aq)
-    A = A.at[..., q, :].set(s_ * Ap + c_ * Aq)
-    Ap = A[..., :, p]
-    Aq = A[..., :, q]
-    A = A.at[..., :, p].set(c_ * Ap - s_ * Aq)
-    A = A.at[..., :, q].set(s_ * Ap + c_ * Aq)
-    Vp = V[..., :, p]
-    Vq = V[..., :, q]
-    V = V.at[..., :, p].set(c_ * Vp - s_ * Vq)
-    V = V.at[..., :, q].set(s_ * Vp + c_ * Vq)
-    return A, V
-
-
 def symeig3x3(A: jnp.ndarray):
     """Batched eigendecomposition of symmetric (..., 3, 3) via cyclic Jacobi.
+
+    Scatter-free: the six unique components and nine eigenvector entries are
+    tracked as separate arrays, so every rotation is pure elementwise VPU
+    work (the naive `.at[...]` formulation emits ~150 scatter kernels that
+    dominate the pose-hypothesis solver).
 
     Returns (eigvals (..., 3) ascending, eigvecs (..., 3, 3) columns).
     """
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    a = {(i, j): A[..., i, j] for i in range(3) for j in range(i, 3)}
+    v = [[jnp.broadcast_to(jnp.asarray(float(i == j), A.dtype), A.shape[:-2])
+          for j in range(3)] for i in range(3)]
+
+    def comp(i, j):
+        return a[(i, j)] if i <= j else a[(j, i)]
+
     for _ in range(_JACOBI_SWEEPS):
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
-            A, V = _apply_jacobi(A, V, p, q)
-    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+            r = 3 - p - q
+            c, s = _jacobi_rotation(comp(p, p), comp(q, q), comp(p, q))
+            app, aqq, apq = comp(p, p), comp(q, q), comp(p, q)
+            apr, aqr = comp(p, r), comp(q, r)
+            a[(min(p, p), max(p, p))] = c * c * app - 2 * s * c * apq + s * s * aqq
+            a[(min(q, q), max(q, q))] = s * s * app + 2 * s * c * apq + c * c * aqq
+            a[(min(p, q), max(p, q))] = jnp.zeros_like(apq)
+            a[(min(p, r), max(p, r))] = c * apr - s * aqr
+            a[(min(q, r), max(q, r))] = s * apr + c * aqr
+            for i in range(3):
+                vp, vq = v[i][p], v[i][q]
+                v[i][p] = c * vp - s * vq
+                v[i][q] = s * vp + c * vq
+
+    w = jnp.stack([a[(0, 0)], a[(1, 1)], a[(2, 2)]], axis=-1)
+    V = jnp.stack([jnp.stack(row, axis=-1) for row in v], axis=-2)
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
