@@ -14,13 +14,30 @@ from flax import linen as nn
 from .geo_transformer import GeometricTransformer
 
 
+class _ScanGeoBlock(nn.Module):
+    """GeometricTransformer wrapped for nn.scan over the nblock loop:
+    carry (f1, f2), per-step outputs (f1, f2) stacked for the similarity
+    heads (the embeddings are broadcast constants)."""
+    hidden_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        f1, f2, geo1, geo2 = carry
+        f1, f2 = GeometricTransformer(self.hidden_dim, self.num_heads,
+                                      dtype=self.dtype, name="block")(
+            f1, geo1, f2, geo2)
+        return (f1, f2, geo1, geo2), (f1, f2)
+
+
 def cosine_similarity_matrix(f1, f2, temp: float, normalize: bool = True):
     """(B, N, C) x (B, M, C) -> (B, N, M) cosine similarity / temp
     (reference model_utils.compute_feature_similarity :114-136)."""
     if normalize:
         f1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-12)
         f2 = f2 / jnp.maximum(jnp.linalg.norm(f2, axis=-1, keepdims=True), 1e-12)
-    return jnp.einsum("bnc,bmc->bnm", f1, f2) / temp
+    return jnp.einsum("...nc,...mc->...nm", f1, f2) / temp
 
 
 class CoarsePointMatching(nn.Module):
@@ -48,13 +65,15 @@ class CoarsePointMatching(nn.Module):
         f1 = jnp.concatenate([bg_b, in_proj(f1)], axis=1)
         f2 = jnp.concatenate([bg_b, in_proj(f2)], axis=1)
 
-        attens = []
-        for i in range(self.nblock):
-            f1, f2 = GeometricTransformer(self.hidden_dim, self.num_heads,
-                                          dtype=self.dtype,
-                                          name=f"transformers_{i}")(
-                f1, geo1, f2, geo2)
-            if all_blocks or i == self.nblock - 1:
-                attens.append(cosine_similarity_matrix(
-                    out_proj(f1), out_proj(f2), self.temp, self.normalize_feat))
-        return attens
+        Scanned = nn.scan(_ScanGeoBlock, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=self.nblock)
+        _, (f1_all, f2_all) = Scanned(self.hidden_dim, self.num_heads,
+                                      dtype=self.dtype, name="transformers")(
+            (f1, f2, geo1, geo2), None)
+        if not all_blocks:
+            f1_all = f1_all[-1:]
+            f2_all = f2_all[-1:]
+        # per-step similarities, vectorized over the stacked step axis
+        sims = cosine_similarity_matrix(
+            out_proj(f1_all), out_proj(f2_all), self.temp, self.normalize_feat)
+        return [sims[i] for i in range(sims.shape[0])]

@@ -9,9 +9,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import linen as _nn
+
 from .geo_transformer import SparseToDenseTransformer
 from .coarse_matching import cosine_similarity_matrix
 from ..ops.ball_query import query_and_group
+
+
+class _ScanS2DBlock(_nn.Module):
+    """SparseToDenseTransformer wrapped for nn.scan over nblock."""
+    hidden_dim: int
+    num_heads: int
+    focusing_factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @_nn.compact
+    def __call__(self, carry, _):
+        f1, f2, geo1, fps_idx1, geo2, fps_idx2 = carry
+        f1, f2 = SparseToDenseTransformer(
+            self.hidden_dim, self.num_heads, self.focusing_factor,
+            dtype=self.dtype, name="block")(
+            f1, geo1, fps_idx1, f2, geo2, fps_idx2)
+        return (f1, f2, geo1, fps_idx1, geo2, fps_idx2), (f1, f2)
 
 
 class SharedMLP(nn.Module):
@@ -91,13 +110,15 @@ class FinePointMatching(nn.Module):
         f2 = in_proj(f2) + pe(p2, train)
         f2 = jnp.concatenate([bg_b, f2], axis=1)
 
-        attens = []
-        for i in range(self.nblock):
-            f1, f2 = SparseToDenseTransformer(
-                self.hidden_dim, self.num_heads, self.focusing_factor,
-                dtype=self.dtype, name=f"transformers_{i}")(
-                f1, geo1, fps_idx1, f2, geo2, fps_idx2)
-            if all_blocks or i == self.nblock - 1:
-                attens.append(cosine_similarity_matrix(
-                    out_proj(f1), out_proj(f2), self.temp, self.normalize_feat))
-        return attens
+        Scanned = nn.scan(_ScanS2DBlock, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=self.nblock)
+        _, (f1_all, f2_all) = Scanned(
+            self.hidden_dim, self.num_heads, self.focusing_factor,
+            dtype=self.dtype, name="transformers")(
+            (f1, f2, geo1, fps_idx1, geo2, fps_idx2), None)
+        if not all_blocks:
+            f1_all = f1_all[-1:]
+            f2_all = f2_all[-1:]
+        sims = cosine_similarity_matrix(
+            out_proj(f1_all), out_proj(f2_all), self.temp, self.normalize_feat)
+        return [sims[i] for i in range(sims.shape[0])]

@@ -177,10 +177,10 @@ def convert_pem_state_dict(sd: Dict[str, np.ndarray], *, vit_depth: int = 12,
         "in_proj": _linear(sd, "coarse_point_matching.in_proj"),
         "out_proj": _linear(sd, "coarse_point_matching.out_proj"),
         "bg_token": _t(sd, "coarse_point_matching.bg_token"),
+        "transformers": {"block": stack_blocks([
+            _geometric_transformer(sd, f"coarse_point_matching.transformers.{i}")
+            for i in range(coarse_nblock)])},
     }
-    for i in range(coarse_nblock):
-        cm[f"transformers_{i}"] = _geometric_transformer(
-            sd, f"coarse_point_matching.transformers.{i}")
     params["coarse_point_matching"] = cm
 
     pe_params, pe_stats = _positional_encoding(sd, "fine_point_matching.PE")
@@ -189,13 +189,13 @@ def convert_pem_state_dict(sd: Dict[str, np.ndarray], *, vit_depth: int = 12,
         "out_proj": _linear(sd, "fine_point_matching.out_proj"),
         "bg_token": _t(sd, "fine_point_matching.bg_token"),
         "PE": pe_params,
+        "transformers": {"block": stack_blocks([
+            {"sparse_layer": _geometric_transformer(
+                sd, f"fine_point_matching.transformers.{i}.sparse_layer"),
+             "dense_layer": _linear_transformer_layer(
+                sd, f"fine_point_matching.transformers.{i}.dense_layer")}
+            for i in range(fine_nblock)])},
     }
-    for i in range(fine_nblock):
-        base = f"fine_point_matching.transformers.{i}"
-        fm[f"transformers_{i}"] = {
-            "sparse_layer": _geometric_transformer(sd, f"{base}.sparse_layer"),
-            "dense_layer": _linear_transformer_layer(sd, f"{base}.dense_layer"),
-        }
     params["fine_point_matching"] = fm
 
     batch_stats = {"fine_point_matching": {"PE": pe_stats}}
