@@ -49,10 +49,14 @@ def cmd_render(args):
 
 
 def cmd_demo(args):
+    import dataclasses
     from ..core.config import default_config
     from ..pipelines.demo import run_demo
 
     cfg = default_config()
+    if args.segmentor_model != "sam":
+        cfg = dataclasses.replace(
+            cfg, ism=dataclasses.replace(cfg.ism, segmentor=args.segmentor_model))
     results = run_demo(
         cfg, args.cad_path, args.rgb_path, args.depth_path, args.cam_path,
         args.output_dir,
@@ -80,9 +84,51 @@ def cmd_pem(args):
 
 
 def cmd_train(args):
-    print("PEM training requires the MegaPose shard dataset; see "
-          "sam6d_tpu/train/trainer.py and data/megapose.py.", file=sys.stderr)
-    raise SystemExit(2)
+    import jax
+    import numpy as np
+    from ..core.config import default_config
+    from ..parallel.mesh import make_mesh, shard_batch
+    from ..train.trainer import PEMTrainer
+    from ..data.megapose import MegaPoseDataset
+    from ..core.checkpoint import (save_train_state, latest_checkpoint,
+                                   load_train_state)
+    from ..core.profiling import LogBuffer, StageTimer
+
+    cfg = default_config()
+    ds = MegaPoseDataset(args.data_dir, img_size=cfg.pem.img_size,
+                         n_sample_observed=cfg.pem.n_sample_observed_point,
+                         n_sample_template=cfg.pem.n_sample_template_point)
+    if len(ds) == 0:
+        print(f"no MegaPose shards found under {args.data_dir}", file=sys.stderr)
+        raise SystemExit(2)
+    mesh = make_mesh()
+    trainer = PEMTrainer(cfg, mesh, seed=cfg.train.seed)
+    rng = np.random.RandomState(cfg.train.seed)
+    batch = ds.sample_batch(cfg.train.batch_size, rng)
+    pretrained = None
+    if args.mae_ckpt:
+        from ..weights.convert_pem import load_torch_checkpoint, convert_mae_vit
+        pretrained = convert_mae_vit(load_torch_checkpoint(args.mae_ckpt))
+    state = trainer.init_state(batch, pretrained_vit=pretrained)
+    buf = LogBuffer()
+    timer = StageTimer()
+    for it in range(args.iters):
+        with timer.stage("data"):
+            batch = ds.sample_batch(cfg.train.batch_size, rng)
+            batch = shard_batch(mesh, {k: jax.numpy.asarray(v)
+                                       for k, v in batch.items() if k != "K"})
+        with timer.stage("step"):
+            state, metrics = trainer.step(state, batch,
+                                          jax.random.PRNGKey(it))
+        buf.update({k: float(v) for k, v in metrics.items()})
+        if (it + 1) % cfg.train.log_every == 0:
+            print(f"iter {it+1}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(buf.average().items())),
+                flush=True)
+            buf.clear()
+        if (it + 1) % cfg.train.checkpoint_every == 0:
+            save_train_state(args.ckpt_dir, it + 1, state)
+    save_train_state(args.ckpt_dir, args.iters, state)
 
 
 def build_parser():
@@ -107,6 +153,8 @@ def build_parser():
 
     pd = sub.add_parser("demo", parents=[common, io])
     pd.add_argument("--skip_render", action="store_true")
+    pd.add_argument("--segmentor_model", default="sam",
+                    choices=["sam", "fastsam"])
     pd.add_argument("--stability_score_thresh", type=float, default=0.97)
     pd.set_defaults(fn=cmd_demo)
 
@@ -115,6 +163,10 @@ def build_parser():
     pp.set_defaults(fn=cmd_pem)
 
     pt = sub.add_parser("train")
+    pt.add_argument("--data_dir", required=True)
+    pt.add_argument("--ckpt_dir", default="checkpoints/pem")
+    pt.add_argument("--iters", type=int, default=600_000)
+    pt.add_argument("--mae_ckpt", default=os.environ.get("MAE_CKPT"))
     pt.set_defaults(fn=cmd_train)
     return p
 

@@ -57,12 +57,16 @@ def run_demo(
                          image_size=cfg.render.image_size)
 
     # stage 2: ISM
-    sam_cfg = cfg.ism.sam
-    if stability_score_thresh is not None:
-        import dataclasses
-        sam_cfg = dataclasses.replace(
-            sam_cfg, stability_score_thresh=stability_score_thresh)
-    segmentor = SAMSegmentor(sam_cfg, variables=sam_variables)
+    if cfg.ism.segmentor == "fastsam":
+        from .fastsam import FastSAMSegmentor, FastSAMConfig
+        segmentor = FastSAMSegmentor(FastSAMConfig(), variables=sam_variables)
+    else:
+        sam_cfg = cfg.ism.sam
+        if stability_score_thresh is not None:
+            import dataclasses
+            sam_cfg = dataclasses.replace(
+                sam_cfg, stability_score_thresh=stability_score_thresh)
+        segmentor = SAMSegmentor(sam_cfg, variables=sam_variables)
     ism = ISMPipeline(cfg.ism, dinov2_variables=ism_variables,
                       segmentor=segmentor)
     ism.onboard_templates_from_dir(tdir)

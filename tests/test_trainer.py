@@ -55,3 +55,25 @@ def test_train_step_runs_and_loss_decreases():
     assert int(state.step) == 4
     # same batch repeated: loss should not explode
     assert losses[-1] < losses[0] * 2 + 10
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from sam6d_tpu.core.checkpoint import (
+        save_train_state, load_train_state, latest_checkpoint)
+    cfg = tiny_full_cfg()
+    mesh = make_mesh(8, dp=8)
+    trainer = PEMTrainer(cfg, mesh)
+    batch = make_dummy_batch(cfg, 8)
+    state = trainer.init_state(batch)
+    path = save_train_state(str(tmp_path), 3, state)
+    assert latest_checkpoint(str(tmp_path)) == path
+    import jax
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), state,
+    )
+    restored = load_train_state(path, type(state)(*abstract))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    assert int(restored.step) == 0
