@@ -129,3 +129,15 @@ def test_convert_full_matches_init_tree(rng):
 
     out = net.apply(variables, inputs, key)
     assert np.isfinite(np.asarray(out["pred_R"])).all()
+
+
+def test_load_partial(rng):
+    from sam6d_tpu.weights.partial import load_partial
+    target = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4), "d": np.zeros(5)}}
+    source = {"a": np.ones((2, 3)), "b": {"c": np.ones(9)}}
+    merged, report = load_partial(target, source)
+    np.testing.assert_array_equal(merged["a"], 1.0)
+    np.testing.assert_array_equal(merged["b"]["c"], 0.0)  # shape mismatch
+    assert report["['a']"] == "loaded"
+    assert report["['b']['c']"] == "shape_mismatch"
+    assert report["['b']['d']"] == "missing_in_source"
