@@ -47,24 +47,16 @@ def timed(body_fn, n_outer=3):
     """body_fn(i) -> scalar contribution; repeated inside one jit via
     lax.fori_loop. Returns seconds per body evaluation measured as the
     slope between R_HI and R_LO repetitions (dispatch/sync costs cancel)."""
-    def looped(r):
-        def run():
-            return jax.lax.fori_loop(
-                0, r, lambda i, acc: acc + body_fn(i), jnp.float32(0.0))
-        return jax.jit(run, static_argnums=())
-
-    lo = jax.jit(lambda: jax.lax.fori_loop(
-        0, R_LO, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
-    hi = jax.jit(lambda: jax.lax.fori_loop(
-        0, R_HI, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
+    # dynamic trip count -> ONE compiled program serves both rep counts
+    run = jax.jit(lambda r: jax.lax.fori_loop(
+        0, r, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
     _log("compiling...")
-    float(lo())
-    float(hi())
+    float(run(R_HI))
     _log("compiled + warm")
     t_lo = t_hi = 0.0
     for _ in range(n_outer):
-        t0 = time.perf_counter(); float(lo()); t_lo += time.perf_counter() - t0
-        t0 = time.perf_counter(); float(hi()); t_hi += time.perf_counter() - t0
+        t0 = time.perf_counter(); float(run(R_LO)); t_lo += time.perf_counter() - t0
+        t0 = time.perf_counter(); float(run(R_HI)); t_hi += time.perf_counter() - t0
     return max((t_hi - t_lo) / n_outer / (R_HI - R_LO), 1e-6)
 
 
