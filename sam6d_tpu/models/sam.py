@@ -169,6 +169,7 @@ class _ScanSAMBlock(nn.Module):
     window_size: int
     grid: int
     mlp_ratio: float = 4.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,6 +204,16 @@ class _ScanSAMBlock(nn.Module):
             return proj(out.transpose(0, 2, 1, 3).reshape(B_, H_, W_, C))
 
         def global_branch(h):
+            if self.use_flash:
+                from ..kernels.flash_attention import flash_attention_relpos
+                B_, H_, W_, C = h.shape
+                heads = self.num_heads
+                q3 = qkv(h).reshape(B_, H_ * W_, 3, heads, hd)
+                q3 = q3.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
+                out = flash_attention_relpos(
+                    q3[0], q3[1], q3[2], rel_h, rel_w, (H_, W_))
+                out = out.transpose(0, 2, 1, 3).reshape(B_, H_, W_, C)
+                return proj(out)
             return attend(h, rel_h, rel_w, (self.grid, self.grid))
 
         def window_branch(h):
@@ -225,13 +236,14 @@ class _ScanSAMStep(nn.Module):
     num_heads: int
     window_size: int
     grid: int
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, is_global):
         y = _ScanSAMBlock(self.dim, self.num_heads, self.window_size,
-                          self.grid, dtype=self.dtype, name="block")(
-            carry, is_global)
+                          self.grid, use_flash=self.use_flash,
+                          dtype=self.dtype, name="block")(carry, is_global)
         return y, None
 
 
@@ -246,6 +258,7 @@ class SAMImageEncoder(nn.Module):
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     out_chans: int = 256
+    use_flash: bool = False  # Pallas flash attention for the global blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -263,7 +276,8 @@ class SAMImageEncoder(nn.Module):
         Scanned = nn.scan(_ScanSAMStep, variable_axes={"params": 0},
                           split_rngs={"params": True}, length=self.depth)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.window_size,
-                       grid, dtype=self.dtype, name="blocks")(x, is_global)
+                       grid, use_flash=self.use_flash, dtype=self.dtype,
+                       name="blocks")(x, is_global)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
         x = LayerNorm2d(self.out_chans, dtype=self.dtype, name="neck_ln1")(x)

@@ -71,12 +71,14 @@ class SAMSegmentor:
         self.cfg = cfg
         self.dtype = dtype
         grid = cfg.img_size // cfg.patch_size
+        use_flash = (jax.default_backend() == "tpu"
+                     and cfg.img_size // cfg.patch_size >= 32)
         self.encoder = SAMImageEncoder(
             img_size=cfg.img_size, patch_size=cfg.patch_size,
             embed_dim=cfg.encoder_embed_dim, depth=cfg.encoder_depth,
             num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
             global_attn_indexes=cfg.encoder_global_attn_indexes,
-            out_chans=cfg.prompt_embed_dim, dtype=dtype)
+            out_chans=cfg.prompt_embed_dim, use_flash=use_flash, dtype=dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=cfg.prompt_embed_dim,
             input_image_size=(cfg.img_size, cfg.img_size),

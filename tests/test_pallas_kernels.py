@@ -34,3 +34,35 @@ def test_fps_pallas_padded_n(rng):
                                                   interpret=True))
     want = np.asarray(farthest_point_sample(jnp.array(pts), 8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_flash_attention_relpos_matches_reference(rng):
+    import jax
+    from sam6d_tpu.kernels.flash_attention import flash_attention_relpos
+    B, heads, H, W, hd = 1, 2, 8, 8, 16
+    N = H * W
+    q = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    k = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    v = rng.randn(B, heads, N, hd).astype(np.float32)
+    Rh = rng.randn(2 * H - 1, hd).astype(np.float32) * 0.1
+    Rw = rng.randn(2 * W - 1, hd).astype(np.float32) * 0.1
+
+    # reference formulation (image_encoder.py:224-240, 325-361)
+    idx_h = np.arange(H)[:, None] - np.arange(H)[None, :] + H - 1
+    idx_w = np.arange(W)[:, None] - np.arange(W)[None, :] + W - 1
+    Rh_g = Rh[idx_h]
+    Rw_g = Rw[idx_w]
+    qg = q.reshape(B, heads, H, W, hd)
+    rel_h = np.einsum("bnhwc,hkc->bnhwk", qg, Rh_g)
+    rel_w = np.einsum("bnhwc,wkc->bnhwk", qg, Rw_g)
+    attn = np.einsum("bhnc,bhmc->bhnm", q * hd**-0.5, k)
+    bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(B, heads, N, N)
+    attn = attn + bias
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmc->bhnc", attn, v)
+
+    got = np.asarray(flash_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(Rh),
+        jnp.asarray(Rw), (H, W), block_q=32, block_k=32, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
