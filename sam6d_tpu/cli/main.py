@@ -131,6 +131,46 @@ def cmd_train(args):
     save_train_state(args.ckpt_dir, args.iters, state)
 
 
+def cmd_bop_eval(args):
+    """BOP evaluation (reference run_inference.py + test_bop.py)."""
+    from ..core.config import default_config
+    from ..data.bop import load_bop_objects
+    from ..pipelines.ism import ISMPipeline
+    from ..pipelines.pem import PEMPipeline
+    from ..pipelines.sam_amg import SAMSegmentor
+    from ..pipelines.bop_eval import run_ism_bop_eval, run_pem_bop_eval
+    import json
+
+    cfg = default_config()
+    objects = load_bop_objects(
+        os.path.join(args.dataset_dir, args.models_dir),
+        template_root=args.template_dir, dataset_name=args.dataset_name)
+    out_dir = args.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.stage in ("ism", "all"):
+        seg = SAMSegmentor(cfg.ism.sam, variables=_load_sam_params(args.sam_ckpt))
+        ism = ISMPipeline(cfg.ism, dinov2_variables=_load_dinov2_params(args.dinov2_ckpt),
+                          segmentor=seg)
+        ism.onboard_bop_objects(
+            objects, cache_path=os.path.join(out_dir, "descriptors.npz"))
+        ism_json = os.path.join(out_dir, f"ism_{args.dataset_name}.json")
+        run_ism_bop_eval(ism, args.dataset_dir, objects, ism_json,
+                         dataset_name=args.dataset_name,
+                         max_frames=args.max_frames)
+        print(f"ISM results -> {ism_json}")
+    if args.stage in ("pem", "all"):
+        seg_json = args.seg_path or os.path.join(
+            out_dir, f"ism_{args.dataset_name}.json")
+        detections = json.load(open(seg_json))
+        pem = PEMPipeline(cfg.pem, params=_load_pem_params(args.pem_ckpt))
+        out_csv = os.path.join(
+            out_dir, f"sam6dtpu_{args.dataset_name}-test.csv")
+        run_pem_bop_eval(pem, args.dataset_dir, objects, detections, out_csv,
+                         max_frames=args.max_frames)
+        print(f"PEM results -> {out_csv}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="sam6d_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +201,20 @@ def build_parser():
     pp = sub.add_parser("pem", parents=[common, io])
     pp.add_argument("--seg_path", required=True)
     pp.set_defaults(fn=cmd_pem)
+
+    pb = sub.add_parser("bop-eval")
+    pb.add_argument("--dataset_dir", required=True)
+    pb.add_argument("--dataset_name", required=True)
+    pb.add_argument("--template_dir", default=None)
+    pb.add_argument("--models_dir", default="models")
+    pb.add_argument("--output_dir", default="outputs/bop")
+    pb.add_argument("--stage", default="all", choices=["ism", "pem", "all"])
+    pb.add_argument("--seg_path", default=None)
+    pb.add_argument("--max_frames", type=int, default=None)
+    pb.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
+    pb.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
+    pb.add_argument("--pem_ckpt", default=os.environ.get("PEM_CKPT"))
+    pb.set_defaults(fn=cmd_bop_eval)
 
     pt = sub.add_parser("train")
     pt.add_argument("--data_dir", required=True)
