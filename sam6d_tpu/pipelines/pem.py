@@ -29,23 +29,36 @@ from ..ops.pointcloud import depth_to_pointcloud
 from PIL import Image
 
 
-def _bucket(n: int, cap: int = 64) -> int:
-    b = 1
+def _bucket(n: int, cap: int = 64, multiple: int = 1) -> int:
+    b = multiple
     while b < n:
         b *= 2
-    return min(b, cap)
+    return min(max(b, multiple), cap)
 
 
 class PEMPipeline:
-    """Stateful wrapper around the pure PEMNet: params + jitted entries."""
+    """Stateful wrapper around the pure PEMNet: params + jitted entries.
+
+    `mesh`: optional jax.sharding.Mesh — instance batches are sharded over
+    its dp axis and params replicated (multi-chip serving; replaces the
+    reference's torch DataParallel at eval, test_bop.py:205-206).
+    """
 
     def __init__(self, cfg: PEMConfig, params=None, seed: int = 0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         self.cfg = cfg
         self.net = PEMNet(cfg, dtype=dtype)
         if params is None:
             params = self._random_init(seed)
         self.variables = params
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P("dp"))
+        else:
+            self._batch_sharding = None
         self._infer_jit = jax.jit(
             lambda v, inputs, key: self.net.apply(v, inputs, key))
         self._templates_jit = jax.jit(
@@ -146,7 +159,8 @@ class PEMPipeline:
             return [], []
 
         n = len(insts)
-        B = _bucket(n)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        B = _bucket(n, multiple=n_dev)
         pad = B - n
 
         def stack(key_, dtype=np.float32):
@@ -163,6 +177,9 @@ class PEMPipeline:
             dense_po=jnp.broadcast_to(dense_po, (B, *dense_po.shape)),
             dense_fo=jnp.broadcast_to(dense_fo, (B, *dense_fo.shape)),
         )
+        if self._batch_sharding is not None:
+            inputs = {k: jax.device_put(x, self._batch_sharding)
+                      for k, x in inputs.items()}
         out = self._infer_jit(self.variables, inputs, jax.random.PRNGKey(seed))
         results = []
         pred_R = np.asarray(out["pred_R"])[:n]

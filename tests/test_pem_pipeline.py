@@ -85,3 +85,30 @@ def test_run_demo_pem_plumbing(tmp_path, rng):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-2)
         assert len(r["t"]) == 3
         assert np.isfinite(r["score"])
+
+
+def test_pem_pipeline_sharded_inference(rng):
+    """PEM inference with instance batches sharded over the 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from sam6d_tpu.parallel.mesh import make_mesh
+    from sam6d_tpu.pipelines.pem import PEMPipeline
+
+    cfg = tiny_pem_cfg()
+    mesh = make_mesh(8, dp=8)
+    pipe = PEMPipeline(cfg, mesh=mesh)
+    B = 8
+    NF = cfg.fine_npoint
+    inputs = dict(
+        rgb=jnp.asarray(rng.rand(B, cfg.img_size, cfg.img_size, 3).astype(np.float32)),
+        rgb_choose=jnp.asarray(rng.randint(0, cfg.img_size**2, (B, NF))),
+        pts=jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.1),
+        model=jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32) * 0.1),
+        dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
+        dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
+    )
+    inputs = {k: jax.device_put(v, pipe._batch_sharding)
+              for k, v in inputs.items()}
+    out = pipe._infer_jit(pipe.variables, inputs, jax.random.PRNGKey(0))
+    assert np.asarray(out["pred_R"]).shape == (B, 3, 3)
+    assert np.isfinite(np.asarray(out["pred_R"])).all()
