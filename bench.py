@@ -6,10 +6,10 @@ masks), DINOv2-L descriptors + three-score matching, and the PEM pose
 network for a 16-instance batch — random weights (latency is
 weight-independent).
 
-Timing methodology: the tunnel to the chip adds 3-36 ms of variable
-overhead per dispatch, so each stage is repeated INSIDE one jitted
-lax.fori_loop; latency = (t(R=12) - t(R=2)) / 10, which cancels dispatch,
-transfer, and sync costs exactly.
+Timing methodology: the tunnel adds variable per-dispatch overhead and
+wrapping models in repetition loops explodes the remote compile, so each
+stage is timed as median(dispatch + checksum sync) with the independently
+measured sync overhead of a trivial kernel subtracted.
 
 Prints ONE json line:
   {"metric": "e2e_frame_ms", "value": ..., "unit": "ms", "vs_baseline": ...}
@@ -31,7 +31,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-REPS = int(os.environ.get("BENCH_REPS", "8"))
+REPS = int(os.environ.get("BENCH_REPS", "9"))
+
+
+def init_like(init_fn):
+    """Shapes from eval_shape, constant-filled params (latency benchmarking
+    only cares about shapes; skips the init program's remote compile)."""
+    shapes = jax.eval_shape(init_fn)
+    return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
 _T0 = time.time()
 
 
@@ -40,24 +47,40 @@ def _log(msg):
     print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
-R_LO, R_HI = 2, 12
+_overhead_s = None
 
 
-def timed(body_fn, n_outer=3):
-    """body_fn(i) -> scalar contribution; repeated inside one jit via
-    lax.fori_loop. Returns seconds per body evaluation measured as the
-    slope between R_HI and R_LO repetitions (dispatch/sync costs cancel)."""
-    # dynamic trip count -> ONE compiled program serves both rep counts
-    run = jax.jit(lambda r: jax.lax.fori_loop(
-        0, r, lambda i, acc: acc + body_fn(i), jnp.float32(0.0)))
+def _dispatch_overhead():
+    """Median cost of dispatching + syncing a trivial kernel."""
+    global _overhead_s
+    if _overhead_s is None:
+        x = jnp.ones((8, 128))
+        tiny = jax.jit(lambda x, i: jnp.sum(x) + i)
+        float(tiny(x, 0.0))
+        ts = []
+        for i in range(12):
+            t0 = time.perf_counter()
+            float(tiny(x, float(i)))
+            ts.append(time.perf_counter() - t0)
+        _overhead_s = sorted(ts)[len(ts) // 2]
+        _log(f"dispatch overhead: {_overhead_s*1e3:.1f} ms")
+    return _overhead_s
+
+
+def timed(body_fn, n=REPS):
+    """body_fn(i) -> device scalar; returns median seconds per evaluation
+    with the measured dispatch/sync overhead subtracted."""
+    overhead = _dispatch_overhead()
     _log("compiling...")
-    float(run(R_HI))
+    float(jnp.asarray(body_fn(0)))
     _log("compiled + warm")
-    t_lo = t_hi = 0.0
-    for _ in range(n_outer):
-        t0 = time.perf_counter(); float(run(R_LO)); t_lo += time.perf_counter() - t0
-        t0 = time.perf_counter(); float(run(R_HI)); t_hi += time.perf_counter() - t0
-    return max((t_hi - t_lo) / n_outer / (R_HI - R_LO), 1e-6)
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(jnp.asarray(body_fn(i + 1)))
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    return max(med - overhead, 1e-6)
 
 
 def bench_pem(dtype, instances: int):
@@ -76,14 +99,14 @@ def bench_pem(dtype, instances: int):
         dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
         dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
     )
-    variables = jax.jit(lambda: net.init(
-        {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))()
+    variables = init_like(lambda: net.init(
+        {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))
     key = jax.random.PRNGKey(0)
+    fwd = jax.jit(lambda v, i, k: jnp.sum(net.apply(v, i, k)["pred_R"]))
 
     def body(i):
-        inp = dict(inputs, rgb=inputs["rgb"] + i.astype(jnp.float32) * 1e-6)
-        out = net.apply(variables, inp, jax.random.fold_in(key, i))
-        return jnp.sum(out["pred_R"]).astype(jnp.float32)
+        inp = dict(inputs, rgb=inputs["rgb"] + i * 1e-6)
+        return fwd(variables, inp, jax.random.fold_in(key, i))
 
     return timed(body)
 
@@ -94,19 +117,19 @@ def bench_seg(dtype, proposals: int):
 
     cfg = SAMConfig(max_proposals=proposals, pred_iou_thresh=-10.0,
                     stability_score_thresh=0.0)
-    seg = SAMSegmentor(cfg, dtype=dtype)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=dtype)
     rng = np.random.RandomState(0)
     frame = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
     canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
     Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
     canvas_j = jnp.asarray(canvas[None])
 
+    prog = jax.jit(lambda v, c: jnp.sum(seg._propose_impl(
+        v, seg.encoder.apply(v["image_encoder"], c)[0],
+        pts, Ry, Rx, hs, ws, h_in, w_in)[1]))
+
     def body(i):
-        emb = seg.encoder.apply(seg.vars["image_encoder"],
-                                canvas_j + i.astype(jnp.float32) * 1e-6)[0]
-        masks, boxes, valid, iou = seg._propose_impl(
-            seg.vars, emb, pts, Ry, Rx, hs, ws, h_in, w_in)
-        return jnp.sum(boxes).astype(jnp.float32)
+        return prog(seg.vars, canvas_j + i * 1e-6)
 
     return timed(body)
 
@@ -116,7 +139,7 @@ def bench_dino_match(dtype, proposals: int):
     from sam6d_tpu.pipelines.ism import ISMPipeline
 
     cfg = ISMConfig(sam=SAMConfig(max_proposals=proposals))
-    pipe = ISMPipeline(cfg, dtype=dtype)
+    pipe = ISMPipeline(cfg, dinov2_variables="eval_shape", dtype=dtype)
     rng = np.random.RandomState(0)
     H, W = 480, 640
     rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
@@ -137,12 +160,12 @@ def bench_dino_match(dtype, proposals: int):
     poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
     clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
 
+    prog = jax.jit(lambda v, r: jnp.sum(pipe._score_frame_impl(
+        v, r, masks, boxes, valid, depth, K, jnp.float32(1.0),
+        ref_desc, ref_appe, poses_R, clouds, apply_nms=True)["scores"]))
+
     def body(i):
-        out = pipe._score_frame_impl(
-            pipe.dinov2_vars, rgb01 + i.astype(jnp.float32) * 1e-6, masks,
-            boxes, valid, depth, K, jnp.float32(1.0), ref_desc, ref_appe,
-            poses_R, clouds, apply_nms=True)
-        return jnp.sum(out["scores"]).astype(jnp.float32)
+        return prog(pipe.dinov2_vars, rgb01 + i * 1e-6)
 
     return timed(body)
 

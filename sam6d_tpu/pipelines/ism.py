@@ -40,6 +40,13 @@ class ISMPipeline:
             dinov2_variables = self.dinov2.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, d.img_size, d.img_size, 3)))
+        elif dinov2_variables == "eval_shape":
+            shapes = jax.eval_shape(
+                lambda: self.dinov2.init(
+                    jax.random.PRNGKey(seed),
+                    jnp.zeros((1, d.img_size, d.img_size, 3))))
+            dinov2_variables = jax.tree.map(
+                lambda sh: jnp.full(sh.shape, 0.01, sh.dtype), shapes)
         self.dinov2_vars = dinov2_variables
         self.segmentor = segmentor
         self.ref_data: Dict[str, jnp.ndarray] = {}

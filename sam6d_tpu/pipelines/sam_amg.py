@@ -87,6 +87,12 @@ class SAMSegmentor:
                                         dtype=dtype)
         if variables is None:
             variables = self._random_init(seed)
+        elif variables == "eval_shape":
+            # shapes only (constant fill): skips the init-program compile;
+            # for latency benchmarking with weight-independent timings
+            shapes = jax.eval_shape(lambda: self._random_init(seed))
+            variables = jax.tree.map(
+                lambda sh: jnp.full(sh.shape, 0.01, sh.dtype), shapes)
         self.vars = variables
         self.points = build_point_grid(cfg.points_per_side)
         self._encode = jax.jit(
