@@ -64,5 +64,5 @@ def test_flash_attention_relpos_matches_reference(rng):
 
     got = np.asarray(flash_attention_relpos(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(Rh),
-        jnp.asarray(Rw), (H, W), block_q=32, block_k=32, interpret=True))
+        jnp.asarray(Rw), (H, W), block_q=32, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5)
