@@ -81,33 +81,28 @@ class FinePointMatching(nn.Module):
     temp: float = 0.1
     normalize_feat: bool = True
     focusing_factor: int = 3
-    pe_radius1: float = 0.1
-    pe_radius2: float = 0.2
-    pe_nsample1: int = 32
-    pe_nsample2: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, p1_init, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
+    def __call__(self, pe1, f1, geo1, fps_idx1, pe2, f2, geo2, fps_idx2,
                  all_blocks: bool = False, train: bool = False):
-        """p1_init: (B, N1, 3) observed points already transformed by the
-        init pose ((p1 - init_t) @ init_R, reference :44); f1/f2 dense feats
-        (B, N, input_dim); geo*: (B, S+1, S+1, C) sparse embeddings.
+        """pe1/pe2: (B, N, hidden) positional encodings of the init-posed
+        observed cloud / template cloud (computed by the owning PEMNet via
+        PositionalEncoding — pe2 is pose-independent and cacheable at
+        onboarding); f1/f2 dense feats (B, N, input_dim); geo*:
+        (B, S+1, S+1, C) sparse embeddings.
         Returns list of (B, N1+1, N2+1) similarity matrices.
         """
         B = f1.shape[0]
         in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")
         out_proj = nn.Dense(self.out_dim, dtype=self.dtype, name="out_proj")
-        pe = PositionalEncoding(self.hidden_dim, self.pe_radius1, self.pe_radius2,
-                                self.pe_nsample1, self.pe_nsample2,
-                                dtype=self.dtype, name="PE")
         bg = self.param("bg_token", nn.initializers.normal(0.02),
                         (1, 1, self.hidden_dim))
         bg_b = jnp.broadcast_to(bg, (B, 1, self.hidden_dim)).astype(f1.dtype)
 
-        f1 = in_proj(f1) + pe(p1_init, train)
+        f1 = in_proj(f1) + pe1
         f1 = jnp.concatenate([bg_b, f1], axis=1)
-        f2 = in_proj(f2) + pe(p2, train)
+        f2 = in_proj(f2) + pe2
         f2 = jnp.concatenate([bg_b, f2], axis=1)
 
         Scanned = nn.scan(_ScanS2DBlock, variable_axes={"params": 0},

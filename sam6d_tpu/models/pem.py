@@ -20,7 +20,7 @@ from ..core.config import PEMConfig
 from .vit import ViTEncoder, gather_pixel_feats, sample_pixel_feats
 from .geo_transformer import GeometricStructureEmbedding
 from .coarse_matching import CoarsePointMatching
-from .fine_matching import FinePointMatching
+from .fine_matching import FinePointMatching, PositionalEncoding
 from ..ops.sampling import sample_pts_feats
 from ..ops.geometry import inverse_transform_points
 from ..pose.solvers import compute_coarse_Rt, compute_fine_Rt
@@ -66,9 +66,12 @@ class PEMNet(nn.Module):
             nblock=fm.nblock, input_dim=fm.input_dim, hidden_dim=fm.hidden_dim,
             out_dim=fm.out_dim, num_heads=fm.num_heads, temp=fm.temp,
             normalize_feat=fm.normalize_feat, focusing_factor=fm.focusing_factor,
-            pe_radius1=fm.pe_radius1, pe_radius2=fm.pe_radius2,
-            pe_nsample1=fm.pe_nsample1, pe_nsample2=fm.pe_nsample2,
             dtype=self.dtype)
+        # PE lives at net scope so the (pose-independent) template encoding
+        # can be precomputed once at onboarding
+        self.fine_pe = PositionalEncoding(
+            fm.hidden_dim, fm.pe_radius1, fm.pe_radius2,
+            fm.pe_nsample1, fm.pe_nsample2, dtype=self.dtype)
 
     # ----------------------------------------------------------------- utils
 
@@ -80,6 +83,11 @@ class PEMNet(nn.Module):
         fmap_low, _ = self.feature_extraction(rgb, full_res=False)
         return sample_pixel_feats(fmap_low, rgb_choose,
                                   (rgb.shape[1], rgb.shape[2]))
+
+    def template_pe(self, dense_po_normalized):
+        """Positional encoding of the (radius-normalized) template cloud —
+        pose-independent, cache alongside dense_fo at onboarding."""
+        return self.fine_pe(dense_po_normalized)
 
     def extract_template_feats(self, tem_rgb, tem_choose, tem_pts,
                                valid_mask=None, npoint: int | None = None):
@@ -149,9 +157,13 @@ class PEMNet(nn.Module):
             c.coarse.nproposal1, c.coarse.nproposal2)
 
         p1_init = inverse_transform_points(tr["dense_pm"], init_R, init_t)
+        pe1 = self.fine_pe(p1_init)
+        pe_o = inputs.get("pe_o")
+        if pe_o is None:
+            pe_o = self.fine_pe(tr["dense_po"])
         fine_atten = self.fine_point_matching(
-            p1_init, tr["dense_fm"], tr["geo_m"], tr["fps_idx_m"],
-            tr["dense_po"], tr["dense_fo"], tr["geo_o"], tr["fps_idx_o"])[-1]
+            pe1, tr["dense_fm"], tr["geo_m"], tr["fps_idx_m"],
+            pe_o, tr["dense_fo"], tr["geo_o"], tr["fps_idx_o"])[-1]
         pred_R, pred_t, pose_score = compute_fine_Rt(
             fine_atten, tr["dense_pm"], tr["dense_po"], model_n,
             dis_thres=c.dis_thres)
@@ -196,9 +208,11 @@ class PEMNet(nn.Module):
             sparse_fm, geo_m, sparse_fo, geo_o, all_blocks=True)
 
         p1_init = inverse_transform_points(dense_pm, init_R, init_t)
+        pe1 = self.fine_pe(p1_init, train=True)
+        pe2 = self.fine_pe(dense_po, train=True)
         fine_attens = self.fine_point_matching(
-            p1_init, dense_fm, geo_m, fps_idx_m,
-            dense_po, dense_fo, geo_o, fps_idx_o,
+            pe1, dense_fm, geo_m, fps_idx_m,
+            pe2, dense_fo, geo_o, fps_idx_o,
             all_blocks=True, train=True)
         aux = dict(sparse_pm=sparse_pm, sparse_po=sparse_po,
                    dense_pm=dense_pm, dense_po=dense_po, radius=radius)

@@ -89,8 +89,8 @@ def run_pem_bop_eval(
     obj_feats = []
     for obj in objects:
         tem = loader.template_views(obj)
-        po, fo = pipeline.onboard_templates(tem)
-        obj_feats.append((po, fo))
+        po, fo, pe_o = pipeline.onboard_templates(tem)
+        obj_feats.append((po, fo, pe_o))
 
     grouped = loader.group_detections(detections)
     scenes = {s.scene_id: s for s in discover_test_scenes(dataset_dir)}
@@ -135,10 +135,13 @@ def run_pem_bop_eval(
             dense_fo = jnp.stack(
                 [obj_feats[i["obj_idx"]][1] for i in chunk]
                 + [obj_feats[chunk[-1]["obj_idx"]][1]] * pad)
+            pe_o = jnp.stack(
+                [obj_feats[i["obj_idx"]][2] for i in chunk]
+                + [obj_feats[chunk[-1]["obj_idx"]][2]] * pad)
             inputs = dict(
                 rgb=stack("rgb"), rgb_choose=stack("rgb_choose", np.int32),
                 pts=stack("pts"), model=jnp.asarray(model_pts),
-                dense_po=dense_po, dense_fo=dense_fo)
+                dense_po=dense_po, dense_fo=dense_fo, pe_o=pe_o)
             import jax
             out = pipeline._infer_jit(pipeline.variables, inputs,
                                       jax.random.PRNGKey(1))

@@ -64,6 +64,8 @@ class PEMPipeline:
         self._templates_jit = jax.jit(
             lambda v, rgb, choose, pts, valid: self.net.apply(
                 v, rgb, choose, pts, valid, method="extract_template_feats"))
+        self._template_pe_jit = jax.jit(
+            lambda v, po_n: self.net.apply(v, po_n, method="template_pe"))
 
     def _random_init(self, seed: int):
         c = self.cfg
@@ -116,7 +118,12 @@ class PEMPipeline:
         po, fo = self._templates_jit(
             self.variables, jnp.asarray(tem["rgb"]),
             jnp.asarray(tem["choose"]), pts, valid)
-        return po, fo
+        # cache the pose-independent fine positional encoding of the
+        # normalized template cloud (halves the per-frame ball-query cost)
+        radius = jnp.max(jnp.linalg.norm(po, axis=-1))
+        pe_o = self._template_pe_jit(
+            self.variables, (po / (radius + 1e-6))[None])[0]
+        return po, fo, pe_o
 
     # -------------------------------------------------------------- instances
 
@@ -130,6 +137,7 @@ class PEMPipeline:
         model_points: np.ndarray,
         dense_po: jnp.ndarray,
         dense_fo: jnp.ndarray,
+        pe_o: jnp.ndarray = None,
         det_score_thresh: float = 0.2,
         seed: int = 1,
     ):
@@ -177,6 +185,8 @@ class PEMPipeline:
             dense_po=jnp.broadcast_to(dense_po, (B, *dense_po.shape)),
             dense_fo=jnp.broadcast_to(dense_fo, (B, *dense_fo.shape)),
         )
+        if pe_o is not None:
+            inputs["pe_o"] = jnp.broadcast_to(pe_o, (B, *pe_o.shape))
         if self._batch_sharding is not None:
             inputs = {k: jax.device_put(x, self._batch_sharding)
                       for k, x in inputs.items()}
@@ -224,12 +234,12 @@ def run_demo_pem(
                                np.random.RandomState(0)) / 1000.0
 
     tem = pipe.load_template_views(os.path.join(output_dir, "templates"))
-    dense_po, dense_fo = pipe.onboard_templates(tem)
+    dense_po, dense_fo, pe_o = pipe.onboard_templates(tem)
 
     dets = json.load(open(seg_path))
     results, _ = pipe.run_frame(rgb, depth, K, depth_scale, dets,
                                 model_points.astype(np.float32),
-                                dense_po, dense_fo, det_score_thresh)
+                                dense_po, dense_fo, pe_o, det_score_thresh)
     os.makedirs(os.path.join(output_dir, "sam6d_results"), exist_ok=True)
     out_path = os.path.join(output_dir, "sam6d_results", "detection_pem.json")
     with open(out_path, "w") as f:

@@ -184,11 +184,11 @@ def convert_pem_state_dict(sd: Dict[str, np.ndarray], *, vit_depth: int = 12,
     params["coarse_point_matching"] = cm
 
     pe_params, pe_stats = _positional_encoding(sd, "fine_point_matching.PE")
+    params["fine_pe"] = pe_params
     fm = {
         "in_proj": _linear(sd, "fine_point_matching.in_proj"),
         "out_proj": _linear(sd, "fine_point_matching.out_proj"),
         "bg_token": _t(sd, "fine_point_matching.bg_token"),
-        "PE": pe_params,
         "transformers": {"block": stack_blocks([
             {"sparse_layer": _geometric_transformer(
                 sd, f"fine_point_matching.transformers.{i}.sparse_layer"),
@@ -198,7 +198,7 @@ def convert_pem_state_dict(sd: Dict[str, np.ndarray], *, vit_depth: int = 12,
     }
     params["fine_point_matching"] = fm
 
-    batch_stats = {"fine_point_matching": {"PE": pe_stats}}
+    batch_stats = {"fine_pe": pe_stats}
     return {"params": params, "batch_stats": batch_stats}
 
 
