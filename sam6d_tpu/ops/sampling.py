@@ -84,7 +84,9 @@ def multinomial_from_weights(key: jax.Array, weights: jnp.ndarray, num: int):
     cdf = cdf / (cdf[..., -1:] + 1e-8)
     B = weights.shape[0]
     u = jax.random.uniform(key, (B, num), dtype=weights.dtype)
-    idx = jax.vmap(lambda c, r: jnp.searchsorted(c, r))(cdf, u)
+    # method='sort': one fused sort instead of a sequential binary-search
+    # scan (~40 ms faster at 16x18k queries on v5e)
+    idx = jax.vmap(lambda c, r: jnp.searchsorted(c, r, method="sort"))(cdf, u)
     return jnp.minimum(idx, weights.shape[-1] - 1).astype(jnp.int32)
 
 
