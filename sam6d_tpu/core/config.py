@@ -109,7 +109,7 @@ class SAMConfig:
     prompt_embed_dim: int = 256
     # automatic mask generation
     points_per_side: int = 32
-    points_per_batch: int = 64      # GPU workaround; TPU runs the whole grid
+    points_per_batch: int = 128     # decode chunk (reference GPU used 64)
     pred_iou_thresh: float = 0.88
     stability_score_thresh: float = 0.85
     stability_score_offset: float = 1.0
@@ -127,7 +127,7 @@ class DINOv2Config:
     depth: int = 24
     num_heads: int = 16
     img_size: int = 224
-    chunk_size: int = 16
+    chunk_size: int = 32  # reference uses 16 (GPU memory); TPU MXU prefers more
     descriptor_width_size: int = 640
     validity_thresh: float = 0.5    # patch validity via avgpool(mask) > 0.5
 
