@@ -100,10 +100,12 @@ class FinePointMatching(nn.Module):
                         (1, 1, self.hidden_dim))
         bg_b = jnp.broadcast_to(bg, (B, 1, self.hidden_dim)).astype(f1.dtype)
 
-        f1 = in_proj(f1) + pe1
-        f1 = jnp.concatenate([bg_b, f1], axis=1)
-        f2 = in_proj(f2) + pe2
-        f2 = jnp.concatenate([bg_b, f2], axis=1)
+        f1 = in_proj(f1)
+        f1 = f1 + pe1.astype(f1.dtype)
+        f1 = jnp.concatenate([bg_b.astype(f1.dtype), f1], axis=1)
+        f2 = in_proj(f2)
+        f2 = f2 + pe2.astype(f2.dtype)
+        f2 = jnp.concatenate([bg_b.astype(f2.dtype), f2], axis=1)
 
         Scanned = nn.scan(_ScanS2DBlock, variable_axes={"params": 0},
                           split_rngs={"params": True}, length=self.nblock)
