@@ -61,6 +61,9 @@ def split_large_triangles(verts: np.ndarray, faces: np.ndarray,
     return verts, faces
 
 
+FACE_CHUNK = 4096
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def rasterize(
     verts_cam: jnp.ndarray,
@@ -75,86 +78,115 @@ def rasterize(
     verts_cam: (V, 3) camera-space vertices (z > 0 in front);
     faces: (F, 3) int32; attrs: (V, A) per-vertex attributes to interpolate;
     K: (3, 3) intrinsics. Returns (attr_img (H, W, A), mask (H, W) bool,
-    depth (H, W))."""
+    depth (H, W)).
+
+    Triangles are processed in fixed chunks via lax.scan (two passes:
+    z-resolve, then winner attribute writes) — per-chunk candidate tensors
+    stay bounded, and small trailing dims are flattened into the lane axis
+    so the TPU's (8, 128) tiled layout doesn't pad them 20x.
+    """
     F = faces.shape[0]
+    Fp = -(-F // FACE_CHUNK) * FACE_CHUNK
+    if Fp != F:
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((Fp - F, 3), faces.dtype)])
+    valid_face = jnp.arange(Fp) < F
+
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     z = verts_cam[:, 2]
     x = verts_cam[:, 0] / z * fx + cx
     y = verts_cam[:, 1] / z * fy + cy
     xy = jnp.stack([x, y], axis=-1)  # (V, 2)
-
-    tri = xy[faces]          # (F, 3, 2)
-    tri_z = z[faces]         # (F, 3)
-    tri_attr = attrs[faces]  # (F, 3, A)
-
-    # tile anchor per triangle
-    lo = jnp.floor(tri.min(axis=1)).astype(jnp.int32)  # (F, 2)
-    lo = jnp.clip(lo, 0, jnp.array([width - 1, height - 1]))
-
-    dx = jnp.arange(TILE)
-    px = lo[:, 0:1] + dx[None, :]  # (F, T)
-    py = lo[:, 1:2] + dx[None, :]
-
-    # edge functions at pixel centers (+0.5)
-    ax, ay = tri[:, 0, 0], tri[:, 0, 1]
-    bx, by = tri[:, 1, 0], tri[:, 1, 1]
-    cx_, cy_ = tri[:, 2, 0], tri[:, 2, 1]
-    pxf = px.astype(jnp.float32) + 0.5  # (F, T)
-    pyf = py.astype(jnp.float32) + 0.5
-
-    def edge(x0, y0, x1, y1):
-        # e(p) = (x1-x0)(py-y0) - (y1-y0)(px-x0), broadcast (F, Ty, Tx)
-        return ((x1 - x0)[:, None, None] * (pyf[:, :, None] - y0[:, None, None])
-                - (y1 - y0)[:, None, None] * (pxf[:, None, :] - x0[:, None, None]))
-
-    e0 = edge(bx, by, cx_, cy_)   # opposite vertex a
-    e1 = edge(cx_, cy_, ax, ay)   # opposite b
-    e2 = edge(ax, ay, bx, by)     # opposite c
-    area = (e0 + e1 + e2)
-    # accept either winding
-    pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-    neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-    inside = (pos | neg) & (jnp.abs(area) > 1e-12)
-
-    denom = jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
-    w0 = e0 / denom
-    w1 = e1 / denom
-    w2 = e2 / denom
-
-    # perspective-correct interpolation via 1/z
-    inv_z = 1.0 / tri_z  # (F, 3)
-    zi = (w0 * inv_z[:, 0, None, None] + w1 * inv_z[:, 1, None, None]
-          + w2 * inv_z[:, 2, None, None])
-    depth = 1.0 / jnp.maximum(zi, 1e-12)
-
-    in_img = ((px[:, None, :] >= 0) & (px[:, None, :] < width)
-              & (py[:, :, None] >= 0) & (py[:, :, None] < height))
-    valid = inside & in_img & (depth > 1e-6)
-
-    pix = (py[:, :, None] * width + px[:, None, :])  # (F, Ty, Tx)
-    pix_flat = jnp.where(valid, pix, height * width).reshape(-1)
-    depth_flat = jnp.where(valid, depth, _BIG).reshape(-1)
-
-    zbuf = jnp.full((height * width + 1,), _BIG)
-    zbuf = zbuf.at[pix_flat].min(depth_flat)
-
-    # winners: fragments whose depth equals the z-buffer value
-    win = valid.reshape(-1) & (depth_flat <= zbuf[pix_flat] * (1 + 1e-6))
-
-    # interpolate attributes (perspective-correct)
     A = attrs.shape[-1]
-    wa = (w0 * inv_z[:, 0, None, None])[..., None]
-    wb = (w1 * inv_z[:, 1, None, None])[..., None]
-    wc = (w2 * inv_z[:, 2, None, None])[..., None]
-    interp = (wa * tri_attr[:, None, None, 0] + wb * tri_attr[:, None, None, 1]
-              + wc * tri_attr[:, None, None, 2])
-    interp = interp * depth[..., None]
-    interp_flat = interp.reshape(-1, A)
+    HW = height * width
 
-    out = jnp.zeros((height * width + 1, A))
-    out = out.at[jnp.where(win, pix_flat, height * width)].set(
-        jnp.where(win[:, None], interp_flat, 0.0))
-    attr_img = out[:height * width].reshape(height, width, A)
-    mask = (zbuf[:height * width] < _BIG).reshape(height, width)
-    depth_img = jnp.where(mask, zbuf[:height * width].reshape(height, width), 0.0)
+    def fragments(chunk_faces, chunk_valid):
+        """Per-chunk fragment data: (pix (C*T*T,), depth (C*T*T,),
+        interp (A, C*T*T), valid (C*T*T,))."""
+        tri = xy[chunk_faces]          # (C, 3, 2)
+        tri_z = z[chunk_faces]         # (C, 3)
+        tri_attr = attrs[chunk_faces]  # (C, 3, A)
+
+        lo = jnp.floor(tri.min(axis=1)).astype(jnp.int32)
+        lo = jnp.clip(lo, 0, jnp.array([width - 1, height - 1]))
+        dx = jnp.arange(TILE)
+        px = lo[:, 0:1] + dx[None, :]  # (C, T)
+        py = lo[:, 1:2] + dx[None, :]
+
+        ax, ay = tri[:, 0, 0], tri[:, 0, 1]
+        bx, by = tri[:, 1, 0], tri[:, 1, 1]
+        cx_, cy_ = tri[:, 2, 0], tri[:, 2, 1]
+        pxf = px.astype(jnp.float32) + 0.5
+        pyf = py.astype(jnp.float32) + 0.5
+
+        def edge(x0, y0, x1, y1):
+            return ((x1 - x0)[:, None, None] * (pyf[:, :, None] - y0[:, None, None])
+                    - (y1 - y0)[:, None, None] * (pxf[:, None, :] - x0[:, None, None]))
+
+        e0 = edge(bx, by, cx_, cy_)
+        e1 = edge(cx_, cy_, ax, ay)
+        e2 = edge(ax, ay, bx, by)
+        area = e0 + e1 + e2
+        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        inside = (pos | neg) & (jnp.abs(area) > 1e-12)
+
+        denom = jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+        w0 = e0 / denom
+        w1 = e1 / denom
+        w2 = e2 / denom
+
+        inv_z = 1.0 / tri_z
+        zi = (w0 * inv_z[:, 0, None, None] + w1 * inv_z[:, 1, None, None]
+              + w2 * inv_z[:, 2, None, None])
+        depth = 1.0 / jnp.maximum(zi, 1e-12)
+
+        in_img = ((px[:, None, :] >= 0) & (px[:, None, :] < width)
+                  & (py[:, :, None] >= 0) & (py[:, :, None] < height))
+        valid = inside & in_img & (depth > 1e-6) & chunk_valid[:, None, None]
+
+        pix = py[:, :, None] * width + px[:, None, :]
+        pix_flat = jnp.where(valid, pix, HW).reshape(-1)
+        depth_flat = jnp.where(valid, depth, _BIG).reshape(-1)
+
+        # attributes stacked attr-major: (A, C*T*T) keeps the big axis on
+        # lanes (the (C*T*T, A) layout would pad A -> 128 on TPU)
+        wa = w0 * inv_z[:, 0, None, None]
+        wb = w1 * inv_z[:, 1, None, None]
+        wc = w2 * inv_z[:, 2, None, None]
+        interp = (wa[None] * tri_attr.T[:, 0, :, None, None]
+                  + wb[None] * tri_attr.T[:, 1, :, None, None]
+                  + wc[None] * tri_attr.T[:, 2, :, None, None])
+        interp = interp * depth[None]
+        return (pix_flat, depth_flat, interp.reshape(A, -1),
+                valid.reshape(-1))
+
+    chunked_faces = faces.reshape(-1, FACE_CHUNK, 3)
+    chunked_valid = valid_face.reshape(-1, FACE_CHUNK)
+
+    # pass 1: z-resolve
+    def z_step(zbuf, args):
+        cf, cv = args
+        pix, depth, _, _ = fragments(cf, cv)
+        return zbuf.at[pix].min(depth), None
+
+    zbuf = jnp.full((HW + 1,), _BIG)
+    zbuf, _ = jax.lax.scan(z_step, zbuf, (chunked_faces, chunked_valid))
+
+    # pass 2: winner attribute writes
+    def attr_step(out, args):
+        cf, cv = args
+        pix, depth, interp, valid = fragments(cf, cv)
+        win = valid & (depth <= zbuf[pix] * (1 + 1e-6))
+        # losers are redirected to the dump column HW
+        idx = jnp.where(win, pix, HW)
+        out = out.at[:, idx].set(interp)
+        return out, None
+
+    out = jnp.zeros((A, HW + 1))
+    out, _ = jax.lax.scan(attr_step, out, (chunked_faces, chunked_valid))
+
+    attr_img = out[:, :HW].T.reshape(height, width, A)
+    mask = (zbuf[:HW] < _BIG).reshape(height, width)
+    depth_img = jnp.where(mask, zbuf[:HW].reshape(height, width), 0.0)
     return attr_img, mask, depth_img
