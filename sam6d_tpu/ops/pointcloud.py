@@ -38,12 +38,20 @@ def masked_depth_mean_translation(
     proposal, the mean over mask pixels with depth > 0 of the backprojected
     cloud (in meters; depth * depth_scale / 1000).
     """
-    cloud = depth_to_pointcloud(depth * depth_scale / 1000.0, K)  # (H, W, 3)
-    valid = (masks > 0) & (depth > 0)[None, :, :]  # (N, H, W)
-    vf = valid.astype(cloud.dtype)
-    num = jnp.einsum("nhw,hwc->nc", vf, cloud)
-    den = jnp.sum(vf, axis=(1, 2))[:, None]
-    return num / jnp.maximum(den, 1.0)
+    # the reference multiplies the (possibly fractional, bilinearly resized)
+    # mask INTO the depth before backprojection, then averages over Z > 0 —
+    # fractional mask pixels contribute scaled-down points; replicated.
+    Z = masks * depth[None, :, :] * depth_scale / 1000.0      # (N, H, W)
+    H, W = depth.shape
+    u = jnp.arange(W, dtype=Z.dtype)[None, None, :]
+    v = jnp.arange(H, dtype=Z.dtype)[None, :, None]
+    X = (u - K[0, 2]) * Z / K[0, 0]
+    Y = (v - K[1, 2]) * Z / K[1, 1]
+    valid = (Z > 0).astype(Z.dtype)
+    den = jnp.sum(valid, axis=(1, 2))[:, None] + 1e-8
+    num = jnp.stack([jnp.sum(X, axis=(1, 2)), jnp.sum(Y, axis=(1, 2)),
+                     jnp.sum(Z, axis=(1, 2))], axis=1)
+    return num / den
 
 
 def radius_outlier_mask(

@@ -76,8 +76,10 @@ def run_demo(
     ).astype(np.float32) / 1000.0
 
     t0 = time.time()
+    # reference custom demo: no size filters, no per-object NMS
     result = ism.match_frame(rgb, depth, K, depth_scale,
-                             jnp.asarray(model_points_ism[None]))
+                             jnp.asarray(model_points_ism[None]),
+                             apply_size_filters=False)
     ism_runtime = time.time() - t0
     records = detections_to_bop_json(result, runtime=ism_runtime)
     seg_path = os.path.join(output_dir, "sam6d_results", "detection_ism.json")

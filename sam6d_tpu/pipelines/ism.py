@@ -54,8 +54,9 @@ class ISMPipeline:
         # the DINOv2-L weights as compile-time constants)
         self._describe = jax.jit(self._describe_impl)
         self._describe_templates = jax.jit(self._describe_templates_impl)
-        self._score_frame = jax.jit(self._score_frame_impl,
-                                    static_argnames=("apply_nms",))
+        self._score_frame = jax.jit(
+            self._score_frame_impl,
+            static_argnames=("apply_nms", "apply_size_filters"))
 
     # ------------------------------------------------------------- internals
 
@@ -215,17 +216,22 @@ class ISMPipeline:
 
     def _score_frame_impl(self, v, rgb01, masks, boxes, valid, depth, K,
                           depth_scale, ref_desc, ref_appe_all, poses_R_all,
-                          pointclouds, apply_nms: bool):
+                          pointclouds, apply_nms: bool,
+                          apply_size_filters: bool = True):
         """Fused per-frame matching: size filters, descriptors, all three
         scores, fusion, optional per-object NMS — one device program."""
         cfg = self.cfg
         H, W = rgb01.shape[:2]
         img_area = H * W
-        box_areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) / img_area
-        mask_areas = jnp.sum(masks, axis=(1, 2)) / img_area
-        # size filters (detector remove_very_small_detections, utils.py:96-105)
-        valid = valid & (box_areas > cfg.post.min_box_size ** 2)
-        valid = valid & (mask_areas > cfg.post.min_mask_size)
+        if apply_size_filters:
+            # size filters (detector remove_very_small_detections,
+            # utils.py:96-105) — applied in BOP mode; the reference custom
+            # demo path skips them (run_inference_custom.py)
+            box_areas = ((boxes[:, 2] - boxes[:, 0])
+                         * (boxes[:, 3] - boxes[:, 1])) / img_area
+            mask_areas = jnp.sum(masks, axis=(1, 2)) / img_area
+            valid = valid & (box_areas > cfg.post.min_box_size ** 2)
+            valid = valid & (mask_areas > cfg.post.min_mask_size)
 
         cls_desc, patch_desc = self._describe_impl(
             v, rgb01, masks, boxes.astype(jnp.int32))
@@ -270,6 +276,7 @@ class ISMPipeline:
         pointclouds: jnp.ndarray,
         detections: Optional[Dict] = None,
         apply_nms_per_object: bool = False,
+        apply_size_filters: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Device-resident per-frame matching: segmentor (2 dispatches) +
         one fused scoring dispatch. Returns device arrays."""
@@ -304,7 +311,8 @@ class ISMPipeline:
             jnp.asarray(np.float32(depth_scale)),
             self.ref_data["descriptors"], self.ref_data["appe_descriptors"],
             self.ref_data["poses_R"], pointclouds,
-            apply_nms=apply_nms_per_object)
+            apply_nms=apply_nms_per_object,
+            apply_size_filters=apply_size_filters)
         out["masks"] = masks
         out["boxes"] = boxes
         return out
