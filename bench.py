@@ -189,28 +189,31 @@ def main():
                           "unit": "ms", "vs_baseline": round(150.0 / ms, 3)}))
         return
 
-    _log("stage: seg")
-    t_seg = bench_seg(dtype, proposals)
-    _log(f"seg: {t_seg*1e3:.1f} ms")
-    if time.time() - _T0 > budget:
-        ms = (t_pem + t_seg) * 1e3
-        print(json.dumps({"metric": "seg_pem_ms", "value": round(ms, 2),
-                          "unit": "ms", "vs_baseline": round(150.0 / ms, 3),
-                          "seg_ms": round(t_seg * 1e3, 2),
-                          "pem_ms": round(t_pem * 1e3, 2)}))
-        return
+    extras = {"pem_ms": round(t_pem * 1e3, 2)}
+    total = t_pem
+    covered = "pem"
+    for name, fn in [("seg", lambda: bench_seg(dtype, proposals)),
+                     ("match", lambda: bench_dino_match(dtype, proposals))]:
+        if time.time() - _T0 > budget:
+            _log(f"budget exceeded before {name}")
+            break
+        _log(f"stage: {name}")
+        try:
+            t = fn()
+        except Exception as e:  # always emit a metric line for the driver
+            _log(f"{name} FAILED: {type(e).__name__}: {e}")
+            break
+        _log(f"{name}: {t*1e3:.1f} ms")
+        extras[f"{name}_ms"] = round(t * 1e3, 2)
+        total += t
+        covered += f"+{name}"
 
-    _log("stage: match")
-    t_match = bench_dino_match(dtype, proposals)
-    _log(f"match: {t_match*1e3:.1f} ms")
-    total_ms = (t_pem + t_seg + t_match) * 1e3
-    print(json.dumps({
-        "metric": "e2e_frame_ms", "value": round(total_ms, 2), "unit": "ms",
-        "vs_baseline": round(150.0 / total_ms, 3),
-        "seg_ms": round(t_seg * 1e3, 2),
-        "match_ms": round(t_match * 1e3, 2),
-        "pem_ms": round(t_pem * 1e3, 2),
-    }))
+    metric = "e2e_frame_ms" if covered == "pem+seg+match" else f"{covered}_ms"
+    ms = total * 1e3
+    line = {"metric": metric, "value": round(ms, 2), "unit": "ms",
+            "vs_baseline": round(150.0 / ms, 3)}
+    line.update(extras)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
