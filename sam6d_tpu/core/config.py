@@ -35,6 +35,9 @@ class ViTConfig:
     out_dim: int = 256            # per-pixel feature dim after upscaling
     use_pyramid_feat: bool = True  # concat features of 4 blocks
     up_type: str = "linear"        # 'linear' 16x pixel-shuffle + bilinear
+    remat: bool = False            # gradient-checkpoint each scanned block
+    #   (training-memory lever: recompute block activations in the backward
+    #   pass instead of storing all `depth` of them; no effect on inference)
 
 
 @dataclass(frozen=True)

@@ -101,6 +101,7 @@ class ViT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @property
     def grid(self) -> int:
@@ -125,8 +126,13 @@ class ViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + pos.astype(x.dtype)
 
+        # remat: recompute each block in the backward pass instead of
+        # storing all `depth` activation sets (prevent_cse=False is safe
+        # under scan and lets XLA fuse normally inside the block)
+        block_cls = (nn.remat(_ScanBlock, prevent_cse=False)
+                     if self.remat else _ScanBlock)
         ScannedBlock = nn.scan(
-            _ScanBlock, variable_axes={"params": 0},
+            block_cls, variable_axes={"params": 0},
             split_rngs={"params": True}, length=self.depth, out_axes=0)
         _, inter = ScannedBlock(self.embed_dim, self.num_heads,
                                 self.mlp_ratio, dtype=self.dtype,
@@ -219,12 +225,14 @@ class ViTEncoder(nn.Module):
     out_dim: int = 256
     use_pyramid_feat: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, full_res: bool = True):
         H, W = x.shape[1], x.shape[2]
         outs = ViT(self.img_size, self.patch_size, self.embed_dim, self.depth,
-                   self.num_heads, self.mlp_ratio, dtype=self.dtype, name="vit")(x)
+                   self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                   remat=self.remat, name="vit")(x)
         cls_tokens = outs[-1][:, 0, :]
         patch = [o[:, 1:, :] for o in outs]
         fmap = ViTPixelDecoder(self.embed_dim, self.out_dim,
