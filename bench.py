@@ -84,10 +84,15 @@ def timed(body_fn, n=REPS):
 
 
 def bench_pem(dtype, instances: int):
+    import dataclasses
+
     from sam6d_tpu.core.config import PEMConfig
     from sam6d_tpu.models.pem import PEMNet
 
     cfg = PEMConfig()
+    if jax.default_backend() == "tpu":
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, use_flash=True))
     net = PEMNet(cfg, dtype=dtype)
     rng = np.random.RandomState(0)
     B, S, NF = instances, cfg.img_size, cfg.fine_npoint
@@ -103,6 +108,9 @@ def bench_pem(dtype, instances: int):
     )
     variables = init_like(lambda: net.init(
         {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))
+    if dtype == jnp.bfloat16:
+        from sam6d_tpu.core.params import cast_float_params
+        variables = cast_float_params(variables, dtype)
     key = jax.random.PRNGKey(0)
     fwd = jax.jit(lambda v, i, k: jnp.sum(net.apply(v, i, k)["pred_R"]))
 

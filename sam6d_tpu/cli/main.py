@@ -152,8 +152,17 @@ def cmd_bop_eval(args):
         seg = SAMSegmentor(cfg.ism.sam, variables=_load_sam_params(args.sam_ckpt))
         ism = ISMPipeline(cfg.ism, dinov2_variables=_load_dinov2_params(args.dinov2_ckpt),
                           segmentor=seg)
-        ism.onboard_bop_objects(
-            objects, cache_path=os.path.join(out_dir, "descriptors.npz"))
+        onboarding = getattr(args, "onboarding", "pbr")
+        reset = getattr(args, "reset_descriptors", False)
+        if onboarding == "pbr":
+            ism.onboard_bop_objects_pbr(
+                args.dataset_dir, [o.obj_id for o in objects],
+                cache_path=os.path.join(out_dir, "descriptors_pbr.npz"),
+                reset_descriptors=reset)
+        else:
+            ism.onboard_bop_objects(
+                objects, cache_path=os.path.join(out_dir, "descriptors.npz"),
+                reset_descriptors=reset)
         ism_json = os.path.join(out_dir, f"ism_{args.dataset_name}.json")
         run_ism_bop_eval(ism, args.dataset_dir, objects, ism_json,
                          dataset_name=args.dataset_name,
@@ -214,6 +223,11 @@ def build_parser():
     pb.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
     pb.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
     pb.add_argument("--pem_ckpt", default=os.environ.get("PEM_CKPT"))
+    pb.add_argument("--onboarding", default="pbr", choices=["pbr", "render"],
+                    help="ISM template source: mined train_pbr crops (the "
+                         "reference default, ISM_sam.yaml:28) or rendered "
+                         "templates")
+    pb.add_argument("--reset_descriptors", action="store_true")
     pb.set_defaults(fn=cmd_bop_eval)
 
     pt = sub.add_parser("train")

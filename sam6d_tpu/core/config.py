@@ -36,6 +36,7 @@ class ViTConfig:
     use_pyramid_feat: bool = True  # concat features of 4 blocks
     up_type: str = "linear"        # 'linear' 16x pixel-shuffle + bilinear
     remat: bool = False            # gradient-checkpoint each scanned block
+    use_flash: bool = False        # Pallas fused attention (inference only)
     #   (training-memory lever: recompute block activations in the backward
     #   pass instead of storing all `depth` of them; no effect on inference)
 

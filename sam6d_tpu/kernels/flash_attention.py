@@ -1,23 +1,33 @@
-"""Pallas fused attention with decomposed relative-position bias.
+"""Pallas fused attention kernels (TPU).
 
-Fuses SAM's ViTDet global attention (reference image_encoder.py:224-240 +
-add_decomposed_rel_pos :325-361): softmax(q k^T / sqrt(d) + rel_h + rel_w) v
-without materializing the (N, N) score matrix in HBM (N = 4096 tokens).
+Two entry points:
+
+- `fused_attention(q, k, v, scale)` — plain softmax attention for arbitrary
+  sequence lengths (DINOv2-L at 257 tokens, MAE ViT at 197). Sequences are
+  padded to tile boundaries; padded keys are masked through an extra
+  "validity" contraction column (q gets a 1-column, padded keys get -1e9),
+  so the kernel body stays a plain matmul-softmax-matmul with zero masking
+  code.
+
+- `flash_attention_relpos(q, k, v, rel_h, rel_w, grid_hw)` — SAM ViTDet
+  attention (reference image_encoder.py:224-240 + add_decomposed_rel_pos
+  :325-361): softmax(q k^T / sqrt(d) + rel_h + rel_w) v without
+  materializing the (N, N) scores in HBM. Serves BOTH the 4096-token global
+  blocks and the 196-token windowed blocks.
 
 Bias-as-matmul trick: the decomposed bias
   bias[n, m] = rel_h_q[n, row(m)] + rel_w_q[n, col(m)]
 is absorbed into the score matmul by augmenting the contraction dimension:
-  q_aug = [q * scale, rel_h_q, rel_w_q]          (N, D + H + W)
-  k_aug = [k,        onehot_row, onehot_col]     (N, D + H + W)
-so q_aug @ k_aug^T == q k^T * scale + bias exactly — the kernel is a plain
-fused attention with zero bias-handling code, and the thin tables
-  rel_h_q[n, kh] = sum_c q[n, c] * Rh[row(n), kh, c]
-  rel_w_q[n, kw] = sum_c q[n, c] * Rw[col(n), kw, c]
-are cheap (N x H / N x W) einsums computed outside.
+  q_aug = [q * scale, rel_h_q, rel_w_q, 1]
+  k_aug = [k,        onehot_row, onehot_col, -1e9*is_pad]
+so q_aug @ k_aug^T == q k^T * scale + bias exactly (+ the padding mask).
+The thin tables rel_h_q[n, kh] = sum_c q[n, c] * Rh[row(n), kh, c] are cheap
+(N x H / N x W) einsums computed outside the kernel.
 
-Block strategy: K/V at N=4096 fit VMEM entirely, so the grid iterates over q
-blocks only; each program computes its (Tq, N) scores + softmax + PV in one
-shot. HBM sees q, k, v, o and the thin tables — never the N^2 scores.
+Block strategy: K/V fit VMEM entirely at every shape this framework uses
+(max 4096 x 256), so the grid iterates over q blocks only; each program
+computes its (Tq, Nk) scores + softmax + PV in one shot. HBM sees q, k, v,
+o and the thin tables — never the N^2 scores.
 """
 from __future__ import annotations
 
@@ -29,17 +39,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NEG_BIG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 
 def _fused_kernel(q_ref, k_ref, v_ref, o_ref):
-    """q_ref: (Tq, Da); k_ref: (N, Da); v_ref: (N, Dv); o_ref: (Tq, Dv).
+    """q_ref: (Tq, Da); k_ref: (Nk, Da); v_ref: (Nk, Dv); o_ref: (Tq, Dv).
 
     Inputs stay in their storage dtype (bf16 in production) — the MXU
-    accumulates in fp32 via preferred_element_type; only the (Tq, N) score
+    accumulates in fp32 via preferred_element_type; only the (Tq, Nk) score
     tile is fp32. p is cast back to the value dtype for the PV matmul
     (standard flash-attention practice) to stay under the VMEM budget.
     """
     s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (Tq, N)
+                            preferred_element_type=jnp.float32)  # (Tq, Nk)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -50,24 +66,80 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref):
 
 
 def _fused_attention(q_aug, k_aug, v, block_q: int, interpret: bool):
-    """(B, heads, N, Da/Dv) fused attention; q_aug already carries scale+bias."""
-    B, heads, N, Da = q_aug.shape
-    Dv = v.shape[-1]
+    """(B, heads, N, Da/Dv) fused attention; q_aug already carries
+    scale/bias/mask columns. Shapes must be tile-aligned."""
+    B, heads, Nq, Da = q_aug.shape
+    Nk, Dv = v.shape[-2], v.shape[-1]
     call = pl.pallas_call(
         _fused_kernel,
-        grid=(N // block_q,),
+        grid=(Nq // block_q,),
         in_specs=[
             pl.BlockSpec((block_q, Da), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, Da), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, Dv), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nk, Da), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nk, Dv), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_q, Dv), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, Dv), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((Nq, Dv), v.dtype),
         interpret=interpret,
     )
     return jax.vmap(jax.vmap(call))(q_aug, k_aug, v)
+
+
+def _pad_axis(x, axis: int, target: int):
+    n = x.shape[axis]
+    if n == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return jnp.pad(x, pad)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float, interpret: bool = False) -> jnp.ndarray:
+    """Plain fused softmax attention for arbitrary N (self- or cross-).
+
+    q: (B, H, Nq, hd), k/v: (B, H, Nk, hd). Returns (B, H, Nq, hd) matching
+    softmax(q k^T * scale) v. Sequences are padded to tile boundaries; the
+    padded keys are masked via the validity column.
+    """
+    B, H, Nq, hd = q.shape
+    Nk = k.shape[2]
+    dt = q.dtype
+
+    Nk_pad = _round_up(Nk, 128)
+    need_mask = Nk_pad != Nk
+    Da = _round_up(hd + (1 if need_mask else 0), 128)
+    Dv = _round_up(hd, 128)
+
+    q_aug = q * jnp.asarray(scale, dt)
+    k_aug = k
+    if need_mask:
+        ones = jnp.ones((B, H, Nq, 1), dt)
+        q_aug = jnp.concatenate([q_aug, ones], axis=-1)
+        kval = jnp.zeros((B, H, Nk, 1), dt)
+        k_aug = jnp.concatenate([k_aug, kval], axis=-1)
+        k_aug = _pad_axis(k_aug, 2, Nk_pad)
+        # padded key rows: all-zero except the validity column = -1e9
+        pad_rows = jnp.zeros((B, H, Nk_pad - Nk, k_aug.shape[-1]), dt)
+        pad_rows = pad_rows.at[..., -1].set(jnp.asarray(_NEG_BIG, dt))
+        k_aug = jnp.concatenate([k_aug[:, :, :Nk], pad_rows], axis=2)
+    q_aug = _pad_axis(q_aug, 3, Da)
+    k_aug = _pad_axis(k_aug, 3, Da)
+    v_p = _pad_axis(_pad_axis(v, 2, Nk_pad), 3, Dv)
+
+    if Nq <= 1024:
+        block_q = _round_up(Nq, 16)
+        Nq_pad = block_q
+    else:
+        block_q = 512
+        Nq_pad = _round_up(Nq, block_q)
+    q_aug = _pad_axis(q_aug, 2, Nq_pad)
+
+    out = _fused_attention(q_aug, k_aug, v_p, block_q, interpret)
+    return out[:, :, :Nq, :hd]
 
 
 @partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
@@ -84,10 +156,12 @@ def flash_attention_relpos(
     """q, k, v: (B, heads, N, hd) with N = H*W row-major tokens;
     rel_pos_h: (2H-1, hd), rel_pos_w: (2W-1, hd). Returns (B, heads, N, hd),
     numerically matching softmax(qk^T/sqrt(hd) + decomposed bias) v.
+    Handles both the SAM global layout (N=4096) and windowed (N=196).
     """
     B, heads, N, hd = q.shape
     H, W = grid_hw
     assert N == H * W
+    dt = q.dtype
     scale = hd ** -0.5
 
     idx_h = np.arange(H)[:, None] - np.arange(H)[None, :] + (H - 1)
@@ -98,32 +172,43 @@ def flash_attention_relpos(
     rel_h_q = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh).reshape(B, heads, N, H)
     rel_w_q = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw).reshape(B, heads, N, W)
 
-    # pad head dim so the augmented contraction dim is a lane multiple
-    D = -(-hd // 128) * 128
-    if (D + H + W) % 128 != 0:
-        D += 128 - (D + H + W) % 128
-    qs = q * jnp.asarray(scale, q.dtype)
-    if hd != D:
-        pad = [(0, 0)] * 3 + [(0, D - hd)]
-        qs = jnp.pad(qs, pad)
-        k = jnp.pad(k, pad)
-    Dv = -(-hd // 128) * 128
-    if hd != Dv:
-        v = jnp.pad(v, [(0, 0)] * 3 + [(0, Dv - hd)])
-
     # one-hot row/col encodings of the key positions
     rows = np.repeat(np.arange(H), W)
     cols = np.tile(np.arange(W), H)
     eye_h = jnp.asarray(np.eye(H, dtype=np.float32)[rows])  # (N, H)
     eye_w = jnp.asarray(np.eye(W, dtype=np.float32)[cols])  # (N, W)
-    dt = q.dtype
-    q_aug = jnp.concatenate(
-        [qs, rel_h_q.astype(dt), rel_w_q.astype(dt)], axis=-1)
-    k_aug = jnp.concatenate(
-        [k, jnp.broadcast_to(eye_h, (B, heads, N, H)).astype(dt),
-         jnp.broadcast_to(eye_w, (B, heads, N, W)).astype(dt)], axis=-1)
 
-    block_q = min(block_q, N)
-    assert N % block_q == 0
-    out = _fused_attention(q_aug, k_aug, v, block_q, interpret)
-    return out[..., :hd]
+    Nk_pad = _round_up(N, 128)
+    need_mask = Nk_pad != N
+
+    parts_q = [q * jnp.asarray(scale, dt), rel_h_q.astype(dt),
+               rel_w_q.astype(dt)]
+    parts_k = [k, jnp.broadcast_to(eye_h, (B, heads, N, H)).astype(dt),
+               jnp.broadcast_to(eye_w, (B, heads, N, W)).astype(dt)]
+    if need_mask:
+        parts_q.append(jnp.ones((B, heads, N, 1), dt))
+        parts_k.append(jnp.zeros((B, heads, N, 1), dt))
+    q_aug = jnp.concatenate(parts_q, axis=-1)
+    k_aug = jnp.concatenate(parts_k, axis=-1)
+
+    Da = _round_up(q_aug.shape[-1], 128)
+    q_aug = _pad_axis(q_aug, 3, Da)
+    k_aug = _pad_axis(k_aug, 3, Da)
+    if need_mask:
+        pad_rows = jnp.zeros((B, heads, Nk_pad - N, Da), dt)
+        pad_rows = pad_rows.at[..., hd + H + W].set(jnp.asarray(_NEG_BIG, dt))
+        k_aug = jnp.concatenate([k_aug, pad_rows], axis=2)
+
+    Dv = _round_up(hd, 128)
+    v_p = _pad_axis(_pad_axis(v, 2, Nk_pad), 3, Dv)
+
+    if N <= 1024:
+        bq = _round_up(N, 16)
+        Nq_pad = bq
+    else:
+        bq = min(block_q, N)
+        Nq_pad = _round_up(N, bq)
+    q_aug = _pad_axis(q_aug, 2, Nq_pad)
+
+    out = _fused_attention(q_aug, k_aug, v_p, bq, interpret)
+    return out[:, :, :N, :hd]

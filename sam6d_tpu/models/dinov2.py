@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .vit import Attention, MlpBlock
+from .vit import Attention, MlpBlock, PatchEmbed
 
 
 class DinoBlock(nn.Module):
@@ -24,6 +24,7 @@ class DinoBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -31,7 +32,8 @@ class DinoBlock(nn.Module):
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + ls1.astype(x.dtype) * Attention(
-            self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+            self.dim, self.num_heads, dtype=self.dtype,
+            use_flash=self.use_flash, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + ls2.astype(x.dtype) * MlpBlock(
             int(self.dim * self.mlp_ratio), self.dim,
@@ -44,11 +46,13 @@ class _ScanDinoBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         y = DinoBlock(self.dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, name="block")(carry)
+                      dtype=self.dtype, use_flash=self.use_flash,
+                      name="block")(carry)
         return y, None
 
 
@@ -62,14 +66,14 @@ class DINOv2(nn.Module):
     num_heads: int = 16
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         B = x.shape[0]
         g = self.img_size // self.patch_size
-        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)
         x = x.reshape(B, g * g, self.embed_dim)
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, self.embed_dim))
@@ -82,7 +86,8 @@ class DINOv2(nn.Module):
         Scanned = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
                           split_rngs={"params": True}, length=self.depth)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.mlp_ratio,
-                       dtype=self.dtype, name="blocks")(x, None)
+                       dtype=self.dtype, use_flash=self.use_flash,
+                       name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0], x[:, 1:]
 

@@ -13,7 +13,7 @@ from flax import linen as _nn
 
 from .geo_transformer import SparseToDenseTransformer
 from .coarse_matching import cosine_similarity_matrix
-from ..ops.ball_query import query_and_group
+from ..ops.ball_query import group_points, two_scale_ball_query
 
 
 class _ScanS2DBlock(_nn.Module):
@@ -62,11 +62,23 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, pts, train: bool = False):
-        g1 = query_and_group(self.r1, self.nsample1, pts, pts, pts)  # (B,N,S,6)
-        f1 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp1")(g1, train)
+        # one distance matrix serves both scales (the reference runs two
+        # independent CUDA ball queries; same results)
+        idx1, idx2 = two_scale_ball_query(
+            self.r1, self.nsample1, self.r2, self.nsample2, pts, pts)
+
+        def rel_abs(idx):
+            # QueryAndGroup semantics with use_xyz=True and features=pts:
+            # [grouped_xyz - center, grouped_xyz] channels
+            grouped = group_points(pts, idx)  # (B, N, S, 3)
+            return jnp.concatenate(
+                [grouped - pts[:, :, None, :], grouped], axis=-1)
+
+        f1 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp1")(
+            rel_abs(idx1), train)
         f1 = jnp.max(f1, axis=2)
-        g2 = query_and_group(self.r2, self.nsample2, pts, pts, pts)
-        f2 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp2")(g2, train)
+        f2 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp2")(
+            rel_abs(idx2), train)
         f2 = jnp.max(f2, axis=2)
         f = jnp.concatenate([f1, f2], axis=-1)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="mlp3")(f)

@@ -87,8 +87,32 @@ class MultiHeadAttention(nn.Module):
         return out
 
 
+class _LinearParams(nn.Module):
+    """Holds Dense-shaped params (kernel/bias) without applying them — used
+    where the projection is algebraically folded into another operand but
+    the checkpoint tree must keep the nn.Dense layout."""
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.out_features))
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return k, b
+
+
 class RPEMultiHeadAttention(nn.Module):
-    """Self-attention with additive relative positional score q·proj_p(embed)."""
+    """Self-attention with additive relative positional score q·proj_p(embed).
+
+    TPU reformulation of reference transformer.py:352-406: instead of
+    projecting the (B, N, M, C) embedding per block (an 80+ GFLOP GEMM plus
+    two HBM round-trips of the projected tensor, repeated for every one of
+    the 12 RPE calls per forward), the projection is folded into the query:
+        q·(embed W_p + b_p) = (q W_p^T)·embed + q·b_p
+    so the pairwise tensor is only ever READ once per call. Params identical
+    (proj_p kernel/bias), results identical up to fp associativity.
+    """
     d_model: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
@@ -100,15 +124,21 @@ class RPEMultiHeadAttention(nn.Module):
         q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
         k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
-        p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(embed_qk)
+        C_e = embed_qk.shape[-1]
+        Wp, bp = _LinearParams(C_e, self.d_model, name="proj_p")()
         B, N, _ = q.shape
         M = k.shape[1]
         q = q.reshape(B, N, H, dh)
         k = k.reshape(B, M, H, dh)
         v = v.reshape(B, M, H, dh)
-        p = p.reshape(B, N, M, H, dh)
         scores_e = jnp.einsum("bnhc,bmhc->bhnm", q, k)
-        scores_p = jnp.einsum("bnhc,bnmhc->bhnm", q, p)
+        # fold proj_p into the query side
+        Wp_r = Wp.reshape(C_e, H, dh).astype(q.dtype)
+        qW = jnp.einsum("bnhc,ehc->bnhe", q, Wp_r)          # (B, N, H, C_e)
+        qb = jnp.einsum("bnhc,hc->bnh", q,
+                        bp.reshape(H, dh).astype(q.dtype))  # (B, N, H)
+        scores_p = jnp.einsum("bnme,bnhe->bhnm", embed_qk.astype(q.dtype), qW)
+        scores_p = scores_p + qb.transpose(0, 2, 1)[..., None]
         scores = (scores_e + scores_p) / jnp.sqrt(dh).astype(q.dtype)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhnm,bmhc->bnhc", attn, v).reshape(B, N, self.d_model)
@@ -214,7 +244,7 @@ class FocusedLinearAttention(nn.Module):
         ksum = jnp.sum(k, axis=1)  # (B, H, dh)
         z = 1.0 / (jnp.einsum("bnhc,bhc->bnh", q, ksum) + 1e-6)
         kv = jnp.einsum("bmhc,bmhd->bhcd", k, v)
-        out = jnp.einsum("bnhc,bhcd,bnh->bnhd", q, kv, z)
+        out = jnp.einsum("bnhc,bhcd->bnhd", q, kv) * z[..., None]
         return out.reshape(B, N, self.d_model)
 
 

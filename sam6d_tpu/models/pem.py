@@ -51,7 +51,7 @@ class PEMNet(nn.Module):
             embed_dim=c.vit.embed_dim, depth=c.vit.depth,
             num_heads=c.vit.num_heads, mlp_ratio=c.vit.mlp_ratio,
             out_dim=c.vit.out_dim, use_pyramid_feat=c.vit.use_pyramid_feat,
-            remat=c.vit.remat, dtype=self.dtype)
+            remat=c.vit.remat, use_flash=c.vit.use_flash, dtype=self.dtype)
         g = c.geo_embedding
         self.geo_embedding = GeometricStructureEmbedding(
             hidden_dim=g.hidden_dim, sigma_d=g.sigma_d, sigma_a=g.sigma_a,

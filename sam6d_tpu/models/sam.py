@@ -220,7 +220,20 @@ class _ScanSAMBlock(nn.Module):
             ws = self.window_size
             H, W = h.shape[1], h.shape[2]
             hw_, pad_hw = window_partition(h, ws)
-            out = attend(hw_, rel_h[:2 * ws - 1], rel_w[:2 * ws - 1], (ws, ws))
+            if self.use_flash:
+                from ..kernels.flash_attention import flash_attention_relpos
+                B_ = hw_.shape[0]
+                heads = self.num_heads
+                q3 = qkv(hw_).reshape(B_, ws * ws, 3, heads, hd)
+                q3 = q3.transpose(2, 0, 3, 1, 4)  # (3, B*nW, heads, N, hd)
+                o = flash_attention_relpos(
+                    q3[0], q3[1], q3[2],
+                    rel_h[:2 * ws - 1], rel_w[:2 * ws - 1], (ws, ws))
+                o = o.transpose(0, 2, 1, 3).reshape(B_, ws, ws, self.dim)
+                out = proj(o)
+            else:
+                out = attend(hw_, rel_h[:2 * ws - 1], rel_w[:2 * ws - 1],
+                             (ws, ws))
             return window_unpartition(out, ws, pad_hw, (H, W))
 
         shortcut = x
@@ -264,10 +277,10 @@ class SAMImageEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) preprocessed -> (B, H/16, W/16, out_chans)."""
+        from .vit import PatchEmbed
         grid = self.img_size // self.patch_size
-        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
         x = x + pos.astype(x.dtype)
@@ -463,6 +476,31 @@ class HyperMLP(nn.Module):
         return x
 
 
+class PixelShuffleUpsample(nn.Module):
+    """ConvTranspose(kernel 2, stride 2) as one GEMM + pixel shuffle.
+
+    Bit-identical to flax ConvTranspose (same param names/shapes, kernel
+    (2, 2, Cin, Cout); the stored kernel is spatially flipped exactly like
+    flax's conv_transpose expects, so converted reference weights are
+    untouched). ConvTranspose lowers to a gradient conv on TPU — this is a
+    plain MXU matmul, measurably faster in the 1024-prompt AMG decode loop.
+    """
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, C, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        kf = k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(C, 4 * self.out_ch)
+        y = x.reshape(B * H * W, C) @ kf.astype(x.dtype)
+        y = y.reshape(B, H, W, 2, 2, self.out_ch)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, self.out_ch)
+        return y + b.astype(y.dtype)
+
+
 class MaskDecoder(nn.Module):
     """Two-way transformer + hypernetwork mask head (reference mask_decoder.py)."""
     transformer_dim: int = 256
@@ -503,12 +541,12 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1:1 + self.num_mask_tokens]
 
         x = src.reshape(B, H, W, C)
-        x = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
-                             name="upscale_conv1")(x)
+        x = PixelShuffleUpsample(C // 4, dtype=self.dtype,
+                                 name="upscale_conv1")(x)
         x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
-                             name="upscale_conv2")(x)
+        x = PixelShuffleUpsample(C // 8, dtype=self.dtype,
+                                 name="upscale_conv2")(x)
         x = nn.gelu(x, approximate=False)  # (B, 4H, 4W, C//8)
 
         hyper = jnp.stack(

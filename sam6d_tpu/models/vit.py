@@ -33,10 +33,15 @@ class MlpBlock(nn.Module):
 
 
 class Attention(nn.Module):
+    """Pre-LN ViT attention. With `use_flash` (TPU inference pipelines) the
+    softmax(qk^T)v chain runs as one Pallas kernel — the (B, H, N, N) scores
+    never round-trip HBM; numerics match the einsum path (fp32 accumulation
+    both ways)."""
     dim: int
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -45,11 +50,45 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(x.dtype)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        if self.use_flash:
+            from ..kernels.flash_attention import fused_attention
+            q3 = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, hd)
+            out = fused_attention(q3[0], q3[1], q3[2],
+                                  scale=float(head_dim) ** -0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(x.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding as space-to-depth + one GEMM.
+
+    Same params as nn.Conv(features, (p, p), stride p) — kernel
+    (p, p, Cin, features), bias (features,) — so converted reference weights
+    are untouched. Avoids the TPU conv path, which pads the 3 input channels
+    to the full lane width (a large FLOP/time blowup at patch-embed shapes).
+    Returns the (B, H/p, W/p, features) grid."""
+    features: int
+    patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (p, p, C, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        g_h, g_w = H // p, W // p
+        x = x.reshape(B, g_h, p, g_w, p, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, g_h * g_w, p * p * C)  # (dy, dx, c) row-major
+        y = x.astype(self.dtype) @ k.reshape(p * p * C, self.features).astype(self.dtype)
+        y = y + b.astype(y.dtype)
+        return y.reshape(B, g_h, g_w, self.features)
 
 
 class Block(nn.Module):
@@ -57,11 +96,13 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          use_flash=self.use_flash, name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
                          dtype=self.dtype, name="mlp")(y)
@@ -74,11 +115,13 @@ class _ScanBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         y = Block(self.dim, self.num_heads, self.mlp_ratio,
-                  dtype=self.dtype, name="block")(carry)
+                  dtype=self.dtype, use_flash=self.use_flash,
+                  name="block")(carry)
         return y, y
 
 
@@ -102,6 +145,7 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @property
     def grid(self) -> int:
@@ -115,9 +159,8 @@ class ViT(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, 3) -> list of 4 (B, 1+N, C) normed features."""
         B = x.shape[0]
-        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)
         x = x.reshape(B, -1, self.embed_dim)  # (B, N, C)
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, self.embed_dim))
@@ -136,6 +179,7 @@ class ViT(nn.Module):
             split_rngs={"params": True}, length=self.depth, out_axes=0)
         _, inter = ScannedBlock(self.embed_dim, self.num_heads,
                                 self.mlp_ratio, dtype=self.dtype,
+                                use_flash=self.use_flash,
                                 name="blocks")(x, None)
 
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
@@ -226,13 +270,14 @@ class ViTEncoder(nn.Module):
     use_pyramid_feat: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, full_res: bool = True):
         H, W = x.shape[1], x.shape[2]
         outs = ViT(self.img_size, self.patch_size, self.embed_dim, self.depth,
                    self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                   remat=self.remat, name="vit")(x)
+                   remat=self.remat, use_flash=self.use_flash, name="vit")(x)
         cls_tokens = outs[-1][:, 0, :]
         patch = [o[:, 1:, :] for o in outs]
         fmap = ViTPixelDecoder(self.embed_dim, self.out_dim,

@@ -19,6 +19,25 @@ import jax.numpy as jnp
 from .geometry import pairwise_sq_distance
 
 
+def first_k_hits(hit: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """hit: (..., N) bool. Returns (..., nsample) int32: the indices of the
+    first `nsample` set bits per row in index order; empty slots get N.
+
+    Rank-select without a sort (the previous formulation top_k'd an
+    index-valued key, i.e. a full 2048-wide sort per row — ~28 ms/scale at
+    PEM shapes): the inclusive cumulative hit count is monotone, so the
+    (s+1)-th hit sits at `count of j with cum[j] <= s`, one fused
+    broadcast-compare-reduce on the VPU.
+    """
+    N = hit.shape[-1]
+    cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)  # inclusive ranks
+    # clamp: ranks beyond nsample+1 behave identically for every slot test
+    cum = jnp.minimum(cum, nsample + 1)
+    slots = jnp.arange(nsample, dtype=jnp.int32)
+    idx = jnp.sum((cum[..., None] <= slots).astype(jnp.int32), axis=-2)
+    return idx.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("nsample",))
 def ball_query(
     radius: float,
@@ -34,17 +53,34 @@ def ball_query(
     """
     d2 = pairwise_sq_distance(new_xyz, xyz)  # (B, M, N)
     N = xyz.shape[1]
-    hit = d2 < (radius * radius)
-    iota = jnp.arange(N, dtype=jnp.int32)
-    # key: hits keep their index, misses get index+N — top_k of (-key) yields
-    # the lowest-index hits first.
-    key = jnp.where(hit, iota, iota + N)
-    neg_sorted, _ = jax.lax.top_k(-key, nsample)  # (B, M, nsample)
-    idx = -neg_sorted
+    idx = first_k_hits(d2 < (radius * radius), nsample)
     valid = idx < N
     first = idx[..., 0:1]
     first = jnp.where(valid[..., 0:1], first, 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("nsample1", "nsample2"))
+def two_scale_ball_query(
+    radius1: float, nsample1: int,
+    radius2: float, nsample2: int,
+    xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+):
+    """Both PE scales from ONE distance matrix (the fine positional encoding
+    queries (r=0.1, 32) and (r=0.2, 64) on the same clouds — reference
+    fine_point_matching.py:93-94 computes two full CUDA ball queries).
+    Returns (idx1 (B, M, n1), idx2 (B, M, n2))."""
+    d2 = pairwise_sq_distance(new_xyz, xyz)
+    N = xyz.shape[1]
+
+    def select(hit, nsample):
+        idx = first_k_hits(hit, nsample)
+        valid = idx < N
+        first = jnp.where(valid[..., 0:1], idx[..., 0:1], 0)
+        return jnp.where(valid, idx, first).astype(jnp.int32)
+
+    return (select(d2 < radius1 * radius1, nsample1),
+            select(d2 < radius2 * radius2, nsample2))
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -107,6 +107,64 @@ def crop_resize_pad_nearest(
                          pad_top, pad_left)
 
 
+@partial(jax.jit, static_argnames=("target",))
+def masked_crop_resize_pad_nearest(
+    image: jnp.ndarray,
+    masks: jnp.ndarray,
+    boxes: jnp.ndarray,
+    target: int = 224,
+):
+    """Fused (image * mask) crop for all proposals from the SHARED frame.
+
+    Equivalent to crop_resize_pad_nearest(image * mask_p, box_p) plus
+    crop_resize_pad_nearest(mask_p, box_p) per proposal, but gathers from
+    the one (H, W, C) frame and the (N, H, W) masks directly — the
+    (N, H, W, C) masked-image stack (hundreds of MB of HBM at proposal
+    capacity) is never materialized.
+
+    image: (H, W, C); masks: (N, H, W); boxes: (N, 4).
+    Returns (crops (N, target, target, C), mask_crops (N, target, target)).
+    """
+    H, W, C = image.shape
+    boxes = boxes.astype(jnp.int32)
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    h = (boxes[:, 3] - y1).astype(jnp.float32)
+    w = (boxes[:, 2] - x1).astype(jnp.float32)
+    tgt = jnp.float32(target)
+    scale = tgt / jnp.maximum(h, w)
+    h1 = _floor_mul_f32(h, scale).astype(jnp.int32)
+    w1 = _floor_mul_f32(w, scale).astype(jnp.int32)
+    square = boxes[:, 3] - y1 == boxes[:, 2] - x1
+    pad_top = jnp.where(square, 0, jnp.maximum((target - h1) // 2, 0))
+    pad_left = jnp.where(square, 0, jnp.maximum((target - w1) // 2, 0))
+    size2_h = jnp.where(square, h1, target)
+    size2_w = jnp.where(square, w1, target)
+
+    out_idx = jnp.arange(target, dtype=jnp.int32)
+
+    def one(mask_p, yy1, xx1, hh, ww, h1_, w1_, sc, s2h, s2w, pt, pl):
+        y_st2 = (out_idx * s2h) // target
+        x_st2 = (out_idx * s2w) // target
+        y_unpad = y_st2 - pt
+        x_unpad = x_st2 - pl
+        y_in = (y_unpad >= 0) & (y_unpad < h1_)
+        x_in = (x_unpad >= 0) & (x_unpad < w1_)
+        y_src = _floor_div_f32(y_unpad.astype(jnp.float32), sc).astype(jnp.int32)
+        x_src = _floor_div_f32(x_unpad.astype(jnp.float32), sc).astype(jnp.int32)
+        y_src = jnp.clip(y_src, 0, jnp.maximum(hh.astype(jnp.int32) - 1, 0)) + yy1
+        x_src = jnp.clip(x_src, 0, jnp.maximum(ww.astype(jnp.int32) - 1, 0)) + xx1
+        ys = jnp.clip(y_src, 0, H - 1)
+        xs = jnp.clip(x_src, 0, W - 1)
+        inside = (y_in[:, None] & x_in[None, :]).astype(image.dtype)
+        mask_patch = mask_p[ys][:, xs] * inside
+        rgb_patch = image[ys][:, xs] * mask_patch[..., None]
+        return rgb_patch, mask_patch
+
+    return jax.vmap(one, in_axes=(0,) + (0,) * 11)(
+        masks, y1, x1, h, w, h1, w1, scale, size2_h, size2_w,
+        pad_top, pad_left)
+
+
 def normalize_imagenet(rgb: jnp.ndarray) -> jnp.ndarray:
     """float [0,1] (..., 3) -> ImageNet-normalized."""
     mean = jnp.array([0.485, 0.456, 0.406], rgb.dtype)

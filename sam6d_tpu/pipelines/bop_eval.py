@@ -142,9 +142,7 @@ def run_pem_bop_eval(
                 rgb=stack("rgb"), rgb_choose=stack("rgb_choose", np.int32),
                 pts=stack("pts"), model=jnp.asarray(model_pts),
                 dense_po=dense_po, dense_fo=dense_fo, pe_o=pe_o)
-            import jax
-            out = pipeline._infer_jit(pipeline.variables, inputs,
-                                      jax.random.PRNGKey(1))
+            out = pipeline.infer_batch(inputs, seed=1)
             dt = time.time() - t0
             R = np.asarray(out["pred_R"])[:len(chunk)]
             t = np.asarray(out["pred_t"])[:len(chunk)] * 1000.0

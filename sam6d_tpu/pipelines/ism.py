@@ -21,7 +21,8 @@ from PIL import Image
 from ..core.config import ISMConfig
 from ..models.dinov2 import DINOv2, masked_patch_descriptors
 from ..models import ism_scoring
-from ..ops.images import crop_resize_pad_nearest, normalize_imagenet
+from ..ops.images import (crop_resize_pad_nearest,
+                          masked_crop_resize_pad_nearest, normalize_imagenet)
 from ..ops.masks import box_iou, nms_masked, rle_encode_coco
 from ..render.poses import template_obj_poses
 from .sam_amg import SAMSegmentor
@@ -33,9 +34,11 @@ class ISMPipeline:
                  dtype=jnp.float32):
         self.cfg = cfg
         d = cfg.dinov2
+        use_flash = jax.default_backend() == "tpu"
         self.dinov2 = DINOv2(img_size=d.img_size, patch_size=d.patch_size,
                              embed_dim=d.embed_dim, depth=d.depth,
-                             num_heads=d.num_heads, dtype=dtype)
+                             num_heads=d.num_heads, use_flash=use_flash,
+                             dtype=dtype)
         if dinov2_variables is None:
             dinov2_variables = self.dinov2.init(
                 jax.random.PRNGKey(seed),
@@ -47,6 +50,9 @@ class ISMPipeline:
                     jnp.zeros((1, d.img_size, d.img_size, 3))))
             dinov2_variables = jax.tree.map(
                 lambda sh: jnp.full(sh.shape, 0.01, sh.dtype), shapes)
+        if dtype == jnp.bfloat16:
+            from ..core.params import cast_float_params
+            dinov2_variables = cast_float_params(dinov2_variables, dtype)
         self.dinov2_vars = dinov2_variables
         self.segmentor = segmentor
         self.ref_data: Dict[str, jnp.ndarray] = {}
@@ -86,14 +92,10 @@ class ISMPipeline:
         """
         d = self.cfg.dinov2
         rgb = normalize_imagenet(rgb01)
-        masked = rgb[None] * masks[..., None]
-        crops = jax.vmap(
-            lambda img, box: crop_resize_pad_nearest(img, box[None], d.img_size)[0]
-        )(masked, boxes)
-        mask_crops = jax.vmap(
-            lambda m, box: crop_resize_pad_nearest(m[..., None], box[None],
-                                                   d.img_size)[0, ..., 0]
-        )(masks, boxes)
+        # fused masked-crop gather: the (K, H, W, 3) masked-image stack is
+        # never materialized (it is ~470 MB at capacity 128)
+        crops, mask_crops = masked_crop_resize_pad_nearest(
+            rgb, masks, boxes, d.img_size)
         cls, patch = self._dino_forward_chunked(v, crops)
         patch = masked_patch_descriptors(patch, mask_crops, d.patch_size,
                                          d.validity_thresh)
@@ -158,46 +160,24 @@ class ISMPipeline:
         if pointclouds is not None:
             self.ref_data["pointcloud"] = pointclouds
 
-    def onboard_bop_objects(self, objects, cache_path: Optional[str] = None,
-                            n_template_view: int = 42,
-                            reset_descriptors: bool = False,
-                            poses: Optional[np.ndarray] = None):
-        """Onboard all objects of a BOP dataset from their rendered template
-        dirs, with an npz cache (reference detector.set_reference_objects
-        :65-134 caches descriptors.pth/descriptors_appe.pth beside the
-        templates; `reset_descriptors` invalidates)."""
-        from ..core.checkpoint import load_template_cache, save_template_cache
-
-        if cache_path and not reset_descriptors:
-            cached = load_template_cache(cache_path)
-            if cached is not None:
-                self.set_reference_data(
-                    jnp.asarray(cached["descriptors"]),
-                    jnp.asarray(cached["appe_descriptors"]),
-                    jnp.asarray(cached["poses_R"]))
-                return self.ref_data
-
+    def _describe_template_stack(self, rgbs, masks, boxes, normalize: bool):
+        """Masked template views -> (cls, patch) descriptors. `normalize`
+        applies the ImageNet transform to the CROPS (the reference BOP
+        providers normalize after CropResizePad — bop.py:43-46,80 — so the
+        zero background becomes -mean/std exactly as torch does; the custom
+        demo path skips it)."""
         S = self.cfg.dinov2.img_size
-        all_cls, all_patch = [], []
-        for obj in objects:
-            rgbs, masks, boxes = [], [], []
-            for v in range(n_template_view):
-                rgb, mask, _ = obj.load_template(v)
-                ys, xs = np.where(mask)
-                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
-                rgbs.append(rgb.astype(np.float32) / 255.0 * mask[..., None])
-                masks.append(mask.astype(np.float32))
-            rgbs = jnp.asarray(np.stack(rgbs))
-            masks_j = jnp.asarray(np.stack(masks))
-            boxes_j = jnp.asarray(np.array(boxes, np.float32))
-            crops = jax.vmap(lambda im, b: crop_resize_pad_nearest(im, b[None], S)[0])(
-                rgbs, boxes_j)
-            mask_crops = jax.vmap(
-                lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
-                masks_j, boxes_j)
-            cls, patch = self._describe_templates(self.dinov2_vars, crops, mask_crops)
-            all_cls.append(cls)
-            all_patch.append(patch)
+        crops = jax.vmap(lambda im, b: crop_resize_pad_nearest(im, b[None], S)[0])(
+            rgbs, boxes)
+        mask_crops = jax.vmap(
+            lambda m, b: crop_resize_pad_nearest(m[..., None], b[None], S)[0, ..., 0])(
+            masks, boxes)
+        if normalize:
+            crops = normalize_imagenet(crops)
+        return self._describe_templates(self.dinov2_vars, crops, mask_crops)
+
+    def _finish_onboarding(self, all_cls, all_patch, poses, cache_path):
+        from ..core.checkpoint import save_template_cache
 
         if poses is None:
             poses = template_obj_poses(0)
@@ -211,6 +191,84 @@ class ISMPipeline:
                 appe_descriptors=self.ref_data["appe_descriptors"],
                 poses_R=self.ref_data["poses_R"])
         return self.ref_data
+
+    def _load_onboarding_cache(self, cache_path, reset_descriptors):
+        from ..core.checkpoint import load_template_cache
+
+        if cache_path and not reset_descriptors:
+            cached = load_template_cache(cache_path)
+            if cached is not None:
+                self.set_reference_data(
+                    jnp.asarray(cached["descriptors"]),
+                    jnp.asarray(cached["appe_descriptors"]),
+                    jnp.asarray(cached["poses_R"]))
+                return self.ref_data
+        return None
+
+    def onboard_bop_objects(self, objects, cache_path: Optional[str] = None,
+                            n_template_view: int = 42,
+                            reset_descriptors: bool = False,
+                            poses: Optional[np.ndarray] = None,
+                            normalize: bool = True):
+        """Onboard all objects of a BOP dataset from their rendered template
+        dirs, with an npz cache (reference detector.set_reference_objects
+        :65-134 caches descriptors.pth/descriptors_appe.pth beside the
+        templates; `reset_descriptors` invalidates)."""
+        cached = self._load_onboarding_cache(cache_path, reset_descriptors)
+        if cached is not None:
+            return cached
+
+        all_cls, all_patch = [], []
+        for obj in objects:
+            rgbs, masks, boxes = [], [], []
+            for v in range(n_template_view):
+                rgb, mask, _ = obj.load_template(v)
+                ys, xs = np.where(mask)
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+                rgbs.append(rgb.astype(np.float32) / 255.0 * mask[..., None])
+                masks.append(mask.astype(np.float32))
+            cls, patch = self._describe_template_stack(
+                jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(masks)),
+                jnp.asarray(np.array(boxes, np.float32)), normalize)
+            all_cls.append(cls)
+            all_patch.append(patch)
+        return self._finish_onboarding(all_cls, all_patch, poses, cache_path)
+
+    def onboard_bop_objects_pbr(self, dataset_dir: str, obj_ids,
+                                cache_path: Optional[str] = None,
+                                reset_descriptors: bool = False,
+                                level: int = 0,
+                                poses: Optional[np.ndarray] = None):
+        """PBR onboarding: mine real train_pbr crops nearest to the template
+        viewpoints instead of rendered templates — the reference's DEFAULT
+        BOP operating point (configs/model/ISM_sam.yaml:28 `rendering_type:
+        pbr` -> provider/bop_pbr.py:28-248). Per object: visib_fract > 0.8
+        candidates, geodesic-nearest per level-0 viewpoint, masked RGB,
+        tight mask bbox, CropResizePad, ImageNet normalize."""
+        from ..data.bop_pbr import PBRTemplateMiner
+
+        cached = self._load_onboarding_cache(cache_path, reset_descriptors)
+        if cached is not None:
+            return cached
+
+        miner = PBRTemplateMiner(dataset_dir, level=level)
+        mined = miner.mine(list(obj_ids))
+        all_cls, all_patch = [], []
+        for obj_id in obj_ids:
+            records = mined[obj_id]
+            rgbs, masks, boxes = [], [], []
+            for rec in records:
+                masked, mask = miner.load_template_crop(rec)
+                ys, xs = np.where(mask)
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+                rgbs.append(masked.astype(np.float32) / 255.0)
+                masks.append(mask.astype(np.float32))
+            cls, patch = self._describe_template_stack(
+                jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(masks)),
+                jnp.asarray(np.array(boxes, np.float32)), normalize=True)
+            all_cls.append(cls)
+            all_patch.append(patch)
+        return self._finish_onboarding(all_cls, all_patch, poses, cache_path)
 
     # -------------------------------------------------------------- matching
 

@@ -46,10 +46,17 @@ class PEMPipeline:
 
     def __init__(self, cfg: PEMConfig, params=None, seed: int = 0,
                  dtype=jnp.float32, mesh=None):
+        if jax.default_backend() == "tpu" and not cfg.vit.use_flash:
+            # inference-only pipeline: fused attention for the MAE ViT
+            cfg = dataclasses.replace(
+                cfg, vit=dataclasses.replace(cfg.vit, use_flash=True))
         self.cfg = cfg
         self.net = PEMNet(cfg, dtype=dtype)
         if params is None:
             params = self._random_init(seed)
+        if dtype == jnp.bfloat16:
+            from ..core.params import cast_float_params
+            params = cast_float_params(params, dtype)
         self.variables = params
         self.mesh = mesh
         if mesh is not None:
@@ -66,6 +73,18 @@ class PEMPipeline:
                 v, rgb, choose, pts, valid, method="extract_template_feats"))
         self._template_pe_jit = jax.jit(
             lambda v, po_n: self.net.apply(v, po_n, method="template_pe"))
+
+    def infer_batch(self, inputs: Dict[str, jnp.ndarray], seed: int = 0):
+        """Public batched forward on prepared device inputs (the contract of
+        PEMNet.infer: rgb/rgb_choose/pts/model/dense_po/dense_fo[/pe_o],
+        all batched to one bucket size). Applies the pipeline's dp sharding
+        and returns the raw output dict (pred_R/pred_t/pred_pose_score...).
+        BOP eval's chunked instance loop drives this directly
+        (reference test_bop.py:130-154)."""
+        if self._batch_sharding is not None:
+            inputs = {k: jax.device_put(x, self._batch_sharding)
+                      for k, x in inputs.items()}
+        return self._infer_jit(self.variables, inputs, jax.random.PRNGKey(seed))
 
     def _random_init(self, seed: int):
         c = self.cfg

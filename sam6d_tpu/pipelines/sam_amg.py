@@ -93,6 +93,9 @@ class SAMSegmentor:
             shapes = jax.eval_shape(lambda: self._random_init(seed))
             variables = jax.tree.map(
                 lambda sh: jnp.full(sh.shape, 0.01, sh.dtype), shapes)
+        if dtype == jnp.bfloat16:
+            from ..core.params import cast_float_params
+            variables = cast_float_params(variables, dtype)
         self.vars = variables
         self.points = build_point_grid(cfg.points_per_side)
         self._encode = jax.jit(

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--output_dir", default="outputs/bop_suite")
     p.add_argument("--datasets", nargs="*", default=BOP_DATASETS)
     p.add_argument("--stage", default="all", choices=["ism", "pem", "all"])
+    p.add_argument("--onboarding", default="pbr", choices=["pbr", "render"])
+    p.add_argument("--reset_descriptors", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
     p.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
@@ -44,6 +46,8 @@ def main():
             models_dir="models_cad" if name == "tless" else "models",
             output_dir=os.path.join(args.output_dir, name),
             stage=args.stage, seg_path=None, max_frames=args.max_frames,
+            onboarding=args.onboarding,
+            reset_descriptors=args.reset_descriptors,
             sam_ckpt=args.sam_ckpt, dinov2_ckpt=args.dinov2_ckpt,
             pem_ckpt=args.pem_ckpt)
         print(f"=== {name} ===", flush=True)

@@ -153,10 +153,8 @@ def test_megapose_dataset(tmp_path):
     assert batch["pts"].shape == (2, 64, 3)
 
 
-def test_pbr_template_miner(tmp_path, rng):
-    from sam6d_tpu.data.bop_pbr import PBRTemplateMiner, rotation_geodesic
+def _make_mini_train_pbr(tmp_path, rng):
     from sam6d_tpu.render.poses import template_obj_poses
-    # mini train_pbr scene
     sd = tmp_path / "train_pbr" / "000000"
     (sd / "rgb").mkdir(parents=True)
     (sd / "mask_visib").mkdir()
@@ -174,6 +172,12 @@ def test_pbr_template_miner(tmp_path, rng):
         gt_info[str(i)] = [{"visib_fract": 0.95}]
     json.dump(gt, open(sd / "scene_gt.json", "w"))
     json.dump(gt_info, open(sd / "scene_gt_info.json", "w"))
+    return poses
+
+
+def test_pbr_template_miner(tmp_path, rng):
+    from sam6d_tpu.data.bop_pbr import PBRTemplateMiner, rotation_geodesic
+    poses = _make_mini_train_pbr(tmp_path, rng)
 
     miner = PBRTemplateMiner(str(tmp_path))
     mined = miner.mine()
@@ -187,3 +191,30 @@ def test_pbr_template_miner(tmp_path, rng):
     # geodesic distance sanity
     d = rotation_geodesic(poses[:2], poses[:2])
     assert d[0, 0] < 1e-4 and d[0, 1] > 0.1
+
+
+def test_pbr_onboarding_flows_into_ism_pipeline(tmp_path, rng):
+    """Full PBR onboarding path: mined train_pbr fixture -> descriptors in
+    ISMPipeline.ref_data with an npz cache roundtrip (the reference's
+    default BOP operating point, ISM_sam.yaml:28)."""
+    import jax.numpy as jnp
+    from sam6d_tpu.core.config import ISMConfig, DINOv2Config
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+
+    _make_mini_train_pbr(tmp_path, rng)
+    cfg = ISMConfig(dinov2=DINOv2Config(
+        img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        chunk_size=42))
+    pipe = ISMPipeline(cfg)
+    cache = str(tmp_path / "desc_pbr.npz")
+    ref = pipe.onboard_bop_objects_pbr(str(tmp_path), [1], cache_path=cache)
+    assert ref["descriptors"].shape == (1, 42, 32)
+    assert ref["appe_descriptors"].shape == (1, 42, 4, 32)
+    assert ref["poses_R"].shape == (42, 3, 3)
+    first = np.asarray(ref["descriptors"]).copy()
+    # cache roundtrip
+    pipe2 = ISMPipeline(cfg)
+    pipe2.dinov2_vars = jnp.asarray(0.0)  # would crash if recomputed
+    ref2 = pipe2.onboard_bop_objects_pbr(str(tmp_path), [1], cache_path=cache)
+    np.testing.assert_allclose(np.asarray(ref2["descriptors"]), first,
+                               atol=1e-6)

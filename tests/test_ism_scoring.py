@@ -155,6 +155,32 @@ def test_crop_resize_pad_matches_torch_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_masked_crop_matches_composed_reference(rng):
+    """Fused masked-crop == crop(rgb*mask) + crop(mask) composition."""
+    from sam6d_tpu.ops.images import masked_crop_resize_pad_nearest
+
+    H, W = 96, 128
+    img = rng.rand(H, W, 3).astype(np.float32)
+    masks = (rng.rand(4, H, W) > 0.5).astype(np.float32)
+    boxes = np.array([
+        [10, 20, 50, 60],
+        [5, 10, 85, 50],
+        [30, 5, 60, 90],
+        [0, 0, W, H],
+    ], np.float32)
+    crops, mask_crops = masked_crop_resize_pad_nearest(
+        jnp.array(img), jnp.array(masks), jnp.array(boxes), 224)
+    for p in range(4):
+        want_rgb = np.asarray(crop_resize_pad_nearest(
+            jnp.array(img * masks[p][..., None]), jnp.array(boxes[p:p + 1]),
+            224))[0]
+        want_m = np.asarray(crop_resize_pad_nearest(
+            jnp.array(masks[p][..., None]), jnp.array(boxes[p:p + 1]),
+            224))[0, ..., 0]
+        np.testing.assert_allclose(np.asarray(crops[p]), want_rgb, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mask_crops[p]), want_m, atol=1e-6)
+
+
 # ----------------------------------------------------------------- scoring
 
 def test_semantic_scores_selects_correct_object(rng):

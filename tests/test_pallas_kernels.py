@@ -66,3 +66,65 @@ def test_flash_attention_relpos_matches_reference(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(Rh),
         jnp.asarray(Rw), (H, W), block_q=32, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_attention_relpos_windowed_unaligned(rng):
+    """N = 7*7 = 49 exercises the key-padding/validity-column path (SAM's
+    windowed blocks run at N=196, also not a lane multiple)."""
+    from sam6d_tpu.kernels.flash_attention import flash_attention_relpos
+    B, heads, H, W, hd = 2, 3, 7, 7, 16
+    N = H * W
+    q = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    k = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    v = rng.randn(B, heads, N, hd).astype(np.float32)
+    Rh = rng.randn(2 * H - 1, hd).astype(np.float32) * 0.1
+    Rw = rng.randn(2 * W - 1, hd).astype(np.float32) * 0.1
+
+    idx_h = np.arange(H)[:, None] - np.arange(H)[None, :] + H - 1
+    idx_w = np.arange(W)[:, None] - np.arange(W)[None, :] + W - 1
+    qg = q.reshape(B, heads, H, W, hd)
+    rel_h = np.einsum("bnhwc,hkc->bnhwk", qg, Rh[idx_h])
+    rel_w = np.einsum("bnhwc,wkc->bnhwk", qg, Rw[idx_w])
+    attn = np.einsum("bhnc,bhmc->bhnm", q * hd**-0.5, k)
+    attn = attn + (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+        B, heads, N, N)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmc->bhnc", attn, v)
+
+    got = np.asarray(flash_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(Rh),
+        jnp.asarray(Rw), (H, W), interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_attention_matches_softmax(rng):
+    """Arbitrary-N fused attention (DINOv2 at 257 tokens, MAE ViT at 197)."""
+    from sam6d_tpu.kernels.flash_attention import fused_attention
+    B, heads, N, hd = 2, 4, 61, 32
+    scale = hd ** -0.5
+    q = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    k = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    v = rng.randn(B, heads, N, hd).astype(np.float32)
+    attn = np.einsum("bhnc,bhmc->bhnm", q * scale, k)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmc->bhnc", attn, v)
+    got = np.asarray(fused_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_vit_attention_flash_matches_einsum(rng):
+    """Module-level: Attention(use_flash) == Attention(einsum path)."""
+    import jax
+    from sam6d_tpu.models.vit import Attention
+    x = jnp.asarray(rng.randn(2, 19, 64).astype(np.float32))
+    a0 = Attention(64, 4, use_flash=False)
+    v = a0.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(a0.apply(v, x))
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(Attention(64, 4, use_flash=True).apply(v, x))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -93,6 +93,19 @@ def test_ball_query_matches_reference_semantics(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_two_scale_ball_query_matches_single_scale(rng):
+    from sam6d_tpu.ops.ball_query import two_scale_ball_query
+
+    xyz = rng.rand(2, 60, 3).astype(np.float32)
+    new_xyz = rng.rand(2, 9, 3).astype(np.float32)
+    i1, i2 = two_scale_ball_query(0.2, 4, 0.4, 8,
+                                  jnp.array(xyz), jnp.array(new_xyz))
+    np.testing.assert_array_equal(np.asarray(i1),
+                                  ball_query_numpy(0.2, 4, xyz, new_xyz))
+    np.testing.assert_array_equal(np.asarray(i2),
+                                  ball_query_numpy(0.4, 8, xyz, new_xyz))
+
+
 def test_group_points(rng):
     feats = rng.randn(1, 20, 6).astype(np.float32)
     idx = rng.randint(0, 20, size=(1, 4, 3))
