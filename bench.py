@@ -84,15 +84,10 @@ def timed(body_fn, n=REPS):
 
 
 def bench_pem(dtype, instances: int):
-    import dataclasses
-
     from sam6d_tpu.core.config import PEMConfig
     from sam6d_tpu.models.pem import PEMNet
 
     cfg = PEMConfig()
-    if jax.default_backend() == "tpu":
-        cfg = dataclasses.replace(
-            cfg, vit=dataclasses.replace(cfg.vit, use_flash=True))
     net = PEMNet(cfg, dtype=dtype)
     rng = np.random.RandomState(0)
     B, S, NF = instances, cfg.img_size, cfg.fine_npoint
@@ -170,14 +165,17 @@ def bench_dino_match(dtype, proposals: int):
     poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
     clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
 
-    prog = jax.jit(lambda v, r: jnp.sum(pipe._score_frame_impl(
-        v, r, masks, boxes, valid, depth, K, jnp.float32(1.0),
+    prog = jax.jit(lambda v, r, va: jnp.sum(pipe._score_frame_impl(
+        v, r, masks, boxes, va, depth, K, jnp.float32(1.0),
         ref_desc, ref_appe, poses_R, clouds, apply_nms=True)["scores"]))
 
-    def body(i):
-        return prog(pipe.dinov2_vars, rgb01 + i * 1e-6)
-
-    return timed(body)
+    t_full = timed(lambda i: prog(pipe.dinov2_vars, rgb01 + i * 1e-6, valid))
+    # realistic load: the describe cost scales with the valid-proposal count
+    # (dynamic-trip-count chunks; the reference's cost model) — report the
+    # 48-detection point as a diagnostic extra
+    valid48 = jnp.asarray(np.arange(proposals) < 48)
+    t_48 = timed(lambda i: prog(pipe.dinov2_vars, rgb01 + i * 1e-6, valid48))
+    return t_full, t_48
 
 
 def main():
@@ -211,6 +209,10 @@ def main():
         except Exception as e:  # always emit a metric line for the driver
             _log(f"{name} FAILED: {type(e).__name__}: {e}")
             break
+        if name == "match":
+            t, t48 = t
+            extras["match_valid48_ms"] = round(t48 * 1e3, 2)
+            _log(f"match (48 valid): {t48*1e3:.1f} ms")
         _log(f"{name}: {t*1e3:.1f} ms")
         extras[f"{name}_ms"] = round(t * 1e3, 2)
         total += t

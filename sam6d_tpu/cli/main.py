@@ -48,6 +48,24 @@ def cmd_render(args):
     print(f"templates written to {out}")
 
 
+def cmd_render_bop(args):
+    from ..render.templates import render_bop_templates
+    obj_ids = [int(x) for x in args.obj_ids] if args.obj_ids else None
+    dirs = render_bop_templates(args.dataset_dir, args.output_dir,
+                                args.dataset_name, level=args.level,
+                                obj_ids=obj_ids)
+    print(f"{len(dirs)} objects -> {args.output_dir}/{args.dataset_name}")
+
+
+def cmd_render_training(args):
+    from ..render.templates import (render_gso_templates,
+                                    render_shapenet_templates)
+    idx = [int(x) for x in args.obj_indices] if args.obj_indices else None
+    fn = render_gso_templates if args.source == "gso" else render_shapenet_templates
+    dirs = fn(args.data_dir, obj_indices=idx)
+    print(f"{len(dirs)} template dirs rendered ({args.source})")
+
+
 def cmd_demo(args):
     import dataclasses
     from ..core.config import default_config
@@ -83,6 +101,16 @@ def cmd_pem(args):
     print(f"{len(results)} poses -> {args.output_dir}/sam6d_results/detection_pem.json")
 
 
+def cmd_verify_weights(args):
+    import json as _json
+    from ..eval.golden import run_golden_verification
+    report = run_golden_verification(
+        args.weights_dir, args.output_dir, example_dir=args.example_dir,
+        record=args.record, golden=args.golden)
+    print(_json.dumps(report, indent=2, default=str))
+    raise SystemExit(0 if report.get("ok") else 1)
+
+
 def cmd_train(args):
     import jax
     import numpy as np
@@ -112,9 +140,16 @@ def cmd_train(args):
     state = trainer.init_state(batch, pretrained_vit=pretrained)
     buf = LogBuffer()
     timer = StageTimer()
+    # multi-worker prefetch (reference trains with 24 DataLoader workers,
+    # config/base.yaml:71): batch assembly overlaps the device step
+    from ..data.prefetch import PrefetchLoader
+    loader = PrefetchLoader(
+        lambda r: ds.sample_batch(cfg.train.batch_size, r),
+        num_workers=args.data_workers, depth=2 * args.data_workers,
+        seed=cfg.train.seed + 1)
     for it in range(args.iters):
         with timer.stage("data"):
-            batch = ds.sample_batch(cfg.train.batch_size, rng)
+            batch = loader.get()
             batch = shard_batch(mesh, {k: jax.numpy.asarray(v)
                                        for k, v in batch.items() if k != "K"})
         with timer.stage("step"):
@@ -128,11 +163,25 @@ def cmd_train(args):
             buf.clear()
         if (it + 1) % cfg.train.checkpoint_every == 0:
             save_train_state(args.ckpt_dir, it + 1, state)
+    loader.close()
     save_train_state(args.ckpt_dir, args.iters, state)
 
 
 def cmd_bop_eval(args):
     """BOP evaluation (reference run_inference.py + test_bop.py)."""
+    if getattr(args, "merge_shards", False):
+        from ..pipelines.bop_eval import merge_ism_shards, merge_pem_shards
+        n = args.num_shards
+        if args.stage in ("ism", "all"):
+            p = os.path.join(args.output_dir, f"ism_{args.dataset_name}.json")
+            merge_ism_shards(p, n)
+            print(f"merged {n} ISM shards -> {p}")
+        if args.stage in ("pem", "all"):
+            p = os.path.join(args.output_dir,
+                             f"sam6dtpu_{args.dataset_name}-test.csv")
+            merge_pem_shards(p, n)
+            print(f"merged {n} PEM shards -> {p}")
+        return
     from ..core.config import default_config
     from ..data.bop import load_bop_objects
     from ..pipelines.ism import ISMPipeline
@@ -166,7 +215,9 @@ def cmd_bop_eval(args):
         ism_json = os.path.join(out_dir, f"ism_{args.dataset_name}.json")
         run_ism_bop_eval(ism, args.dataset_dir, objects, ism_json,
                          dataset_name=args.dataset_name,
-                         max_frames=args.max_frames)
+                         max_frames=args.max_frames,
+                         shard=getattr(args, "shard", 0),
+                         num_shards=getattr(args, "num_shards", 1))
         print(f"ISM results -> {ism_json}")
     if args.stage in ("pem", "all"):
         seg_json = args.seg_path or os.path.join(
@@ -176,7 +227,9 @@ def cmd_bop_eval(args):
         out_csv = os.path.join(
             out_dir, f"sam6dtpu_{args.dataset_name}-test.csv")
         run_pem_bop_eval(pem, args.dataset_dir, objects, detections, out_csv,
-                         max_frames=args.max_frames)
+                         max_frames=args.max_frames,
+                         shard=getattr(args, "shard", 0),
+                         num_shards=getattr(args, "num_shards", 1))
         print(f"PEM results -> {out_csv}")
 
 
@@ -190,6 +243,22 @@ def build_parser():
 
     pr = sub.add_parser("render", parents=[common])
     pr.set_defaults(fn=cmd_render)
+
+    prb = sub.add_parser("render-bop")
+    prb.add_argument("--dataset_dir", required=True)
+    prb.add_argument("--dataset_name", required=True)
+    prb.add_argument("--output_dir", required=True)
+    prb.add_argument("--level", type=int, default=0)
+    prb.add_argument("--obj_ids", nargs="*", default=None)
+    prb.set_defaults(fn=cmd_render_bop)
+
+    prt = sub.add_parser("render-training")
+    prt.add_argument("--data_dir", required=True,
+                     help="MegaPose root (contains MegaPose-GSO / "
+                          "MegaPose-ShapeNetCore)")
+    prt.add_argument("--source", choices=["gso", "shapenet"], required=True)
+    prt.add_argument("--obj_indices", nargs="*", default=None)
+    prt.set_defaults(fn=cmd_render_training)
 
     io = argparse.ArgumentParser(add_help=False)
     io.add_argument("--rgb_path", required=True)
@@ -223,6 +292,10 @@ def build_parser():
     pb.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
     pb.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
     pb.add_argument("--pem_ckpt", default=os.environ.get("PEM_CKPT"))
+    pb.add_argument("--shard", type=int, default=0)
+    pb.add_argument("--num_shards", type=int, default=1)
+    pb.add_argument("--merge_shards", action="store_true",
+                    help="merge existing rank files instead of evaluating")
     pb.add_argument("--onboarding", default="pbr", choices=["pbr", "render"],
                     help="ISM template source: mined train_pbr crops (the "
                          "reference default, ISM_sam.yaml:28) or rendered "
@@ -230,11 +303,23 @@ def build_parser():
     pb.add_argument("--reset_descriptors", action="store_true")
     pb.set_defaults(fn=cmd_bop_eval)
 
+    pv = sub.add_parser("verify-weights")
+    pv.add_argument("--weights_dir", required=True)
+    pv.add_argument("--output_dir", default="outputs/verify_weights")
+    pv.add_argument("--example_dir",
+                    default="/root/reference/SAM-6D/Data/Example")
+    pv.add_argument("--record", default=None,
+                    help="record a golden npz from this (trusted) run")
+    pv.add_argument("--golden", default=None,
+                    help="compare against a recorded golden npz")
+    pv.set_defaults(fn=cmd_verify_weights)
+
     pt = sub.add_parser("train")
     pt.add_argument("--data_dir", required=True)
     pt.add_argument("--ckpt_dir", default="checkpoints/pem")
     pt.add_argument("--iters", type=int, default=600_000)
     pt.add_argument("--mae_ckpt", default=os.environ.get("MAE_CKPT"))
+    pt.add_argument("--data_workers", type=int, default=8)
     pt.set_defaults(fn=cmd_train)
     return p
 

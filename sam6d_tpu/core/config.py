@@ -118,6 +118,10 @@ class SAMConfig:
     stability_score_thresh: float = 0.85
     stability_score_offset: float = 1.0
     box_nms_thresh: float = 0.7
+    # host-side small-region cleanup (reference automatic_mask_generator.py
+    # :323-372); 0 disables — the reference operating point
+    # (min_mask_region_area: 0) never runs it, but it ships it
+    min_mask_region_area: int = 0
     segmentor_width_size: int = 640  # pre-resize width (model/sam.py:107-119)
     max_proposals: int = 512         # fixed capacity of surviving proposals
 

@@ -47,22 +47,42 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, o_ref):
-    """q_ref: (Tq, Da); k_ref: (Nk, Da); v_ref: (Nk, Dv); o_ref: (Tq, Dv).
+    """q_ref: (hb, Tq, Da); k_ref: (hb, Nk, Da); v_ref: (hb, Nk, Dv);
+    o_ref: (hb, Tq, Dv) — `hb` heads batched per grid step so each step
+    amortizes its DMA + bookkeeping over hb small attention matrices
+    (one head per step at 257-token shapes left the MXU idle: ~50k grid
+    steps per DINOv2 forward).
 
     Inputs stay in their storage dtype (bf16 in production) — the MXU
-    accumulates in fp32 via preferred_element_type; only the (Tq, Nk) score
-    tile is fp32. p is cast back to the value dtype for the PV matmul
+    accumulates in fp32 via preferred_element_type; only the (hb, Tq, Nk)
+    score tile is fp32. p is cast back to the value dtype for the PV matmul
     (standard flash-attention practice) to stay under the VMEM budget.
     """
-    s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (Tq, Nk)
+    s = jax.lax.dot_general(q_ref[:], k_ref[:],
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (hb, Tq, Nk)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:],
-                              (((1,), (0,)), ((), ())),
+                              (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     o_ref[:] = (out / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _head_block(heads: int, block_q: int, Nk: int, Da: int, Dv: int) -> int:
+    """Largest divisor of `heads` whose working set fits the VMEM budget."""
+    per_head = (Nk * (Da + Dv) * 2          # k + v (bf16)
+                + block_q * Nk * 4           # fp32 scores
+                + block_q * Nk * 2           # p cast back
+                + block_q * (Da + Dv * 3) * 2)  # q + out
+    hb = max(1, _VMEM_BUDGET // max(per_head, 1))
+    while heads % hb:
+        hb -= 1
+    return hb
 
 
 def _fused_attention(q_aug, k_aug, v, block_q: int, interpret: bool):
@@ -70,21 +90,24 @@ def _fused_attention(q_aug, k_aug, v, block_q: int, interpret: bool):
     scale/bias/mask columns. Shapes must be tile-aligned."""
     B, heads, Nq, Da = q_aug.shape
     Nk, Dv = v.shape[-2], v.shape[-1]
+    hb = _head_block(heads, block_q, Nk, Da, Dv)
     call = pl.pallas_call(
         _fused_kernel,
-        grid=(Nq // block_q,),
+        grid=(heads // hb, Nq // block_q),
         in_specs=[
-            pl.BlockSpec((block_q, Da), lambda i: (i, 0),
+            pl.BlockSpec((hb, block_q, Da), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Nk, Da), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Nk, Dv), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, Nk, Da), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, Nk, Dv), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_q, Dv), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((hb, block_q, Dv), lambda h, i: (h, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Nq, Dv), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((heads, Nq, Dv), v.dtype),
         interpret=interpret,
     )
-    return jax.vmap(jax.vmap(call))(q_aug, k_aug, v)
+    return jax.vmap(call)(q_aug, k_aug, v)
 
 
 def _pad_axis(x, axis: int, target: int):

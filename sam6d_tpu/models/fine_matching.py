@@ -62,10 +62,18 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, pts, train: bool = False):
+        import jax
         # one distance matrix serves both scales (the reference runs two
-        # independent CUDA ball queries; same results)
-        idx1, idx2 = two_scale_ball_query(
-            self.r1, self.nsample1, self.r2, self.nsample2, pts, pts)
+        # independent CUDA ball queries; same results). On TPU the fused
+        # Pallas kernel keeps distances/ranks in VMEM (the XLA formulation
+        # streams ~6 GB of (B, N, N) intermediates at PEM shapes).
+        if jax.default_backend() == "tpu" and pts.shape[1] % 64 == 0:
+            from ..kernels.ball_query import two_scale_ball_query_pallas
+            idx1, idx2 = two_scale_ball_query_pallas(
+                pts, pts, self.r1, self.nsample1, self.r2, self.nsample2)
+        else:
+            idx1, idx2 = two_scale_ball_query(
+                self.r1, self.nsample1, self.r2, self.nsample2, pts, pts)
 
         def rel_abs(idx):
             # QueryAndGroup semantics with use_xyz=True and features=pts:

@@ -366,8 +366,58 @@ class PromptEncoder(nn.Module):
 
 # ---------------------------------------------------------- mask decoder
 
+def _attention_small_q(q, k, v, heads, hd):
+    """Multi-head attention where N_q is tiny and N_k is large (the two-way
+    decoder's token->image attention: 12 queries over 4096 keys per prompt).
+
+    The per-head matmuls are (12, 16) @ (16, 4096) — the MXU runs those at
+    <1 TF/s, and they dominated the whole AMG decode. Trick: embed the heads
+    BLOCK-DIAGONALLY into one (H*Nq, H*hd) operand so the batched GEMM
+    becomes (96, 128) @ (128, Nk) — ideal MXU shapes. The off-diagonal
+    products are exact zeros (q_block is zero outside its head's slice), so
+    results are bit-identical up to fp reduction order; the 8x FLOP padding
+    is free at these sizes. Same trick for PV with a diagonal extraction.
+    q: (B, N, H, hd); k/v: (B, M, H, hd). Returns (B, N, H*hd)."""
+    B, N, H, _ = q.shape
+    M = k.shape[1]
+    eye = jnp.eye(H, dtype=q.dtype)
+    # q_block[b, h*N+n, g*hd+c] = q[b,n,h,c] * delta(h,g)
+    qb = jnp.einsum("bnhc,hg->bhngc", q, eye).reshape(B, H * N, H * hd)
+    k_flat = k.reshape(B, M, H * hd)
+    s = jnp.einsum("bqc,bmc->bqm", qb, k_flat)  # (B, H*N, M)
+    p = jax.nn.softmax(s.reshape(B, H, N, M), axis=-1).reshape(B, H * N, M)
+    v_flat = v.reshape(B, M, H * hd)
+    res = jnp.einsum("bqm,bmc->bqc", p, v_flat)  # (B, H*N, H*hd)
+    # diagonal blocks: out[b,n,h,c] = res[b, h*N+n, h*hd+c]
+    out = jnp.einsum("bhngc,hg->bnhc", res.reshape(B, H, N, H, hd), eye)
+    return out.reshape(B, N, H * hd)
+
+
+def _attention_small_k(q, k, v, heads, hd):
+    """Mirror of _attention_small_q for large N_q over tiny N_k (the
+    decoder's image->token attention: 4096 queries over 12 keys). k and v
+    are embedded block-diagonally; the output lands directly in the
+    flattened (h, c) layout with zero off-diagonal contamination.
+    q: (B, N, H, hd); k/v: (B, M, H, hd). Returns (B, N, H*hd)."""
+    B, N, H, _ = q.shape
+    M = k.shape[1]
+    eye = jnp.eye(H, dtype=q.dtype)
+    q_flat = q.reshape(B, N, H * hd)
+    # k_block[b, g*hd+c, h*M+n] = k[b,n,h,c] * delta(h,g)
+    kb = jnp.einsum("bnhc,hg->bgchn", k, eye).reshape(B, H * hd, H * M)
+    s = jnp.einsum("bnc,bck->bnk", q_flat, kb)  # (B, N, H*M)
+    p = jax.nn.softmax(s.reshape(B, N, H, M), axis=-1).reshape(B, N, H * M)
+    # v_block[b, h*M+n, g*hd+c] = v[b,n,h,c] * delta(h,g)
+    vb = jnp.einsum("bnhc,hg->bhngc", v, eye).reshape(B, H * M, H * hd)
+    return jnp.einsum("bnk,bkc->bnc", p, vb)  # (B, N, H*hd)
+
+
 class DownsampleAttention(nn.Module):
-    """Attention with channel downsample (reference transformer.Attention)."""
+    """Attention with channel downsample (reference transformer.Attention).
+
+    Skinny shapes (few tokens on one side) route through the block-diagonal
+    head-merge formulations above — numerically identical, ~10x faster on
+    the MXU at the AMG decode's shapes."""
     embed_dim: int
     num_heads: int
     downsample_rate: int = 1
@@ -383,12 +433,17 @@ class DownsampleAttention(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(v)
         B, N, _ = q.shape
         M = k.shape[1]
-        q = q.reshape(B, N, heads, hd)
+        q = q.reshape(B, N, heads, hd) / jnp.sqrt(hd).astype(q.dtype)
         k = k.reshape(B, M, heads, hd)
         v = v.reshape(B, M, heads, hd)
-        a = jnp.einsum("bnhc,bmhc->bhnm", q, k) / jnp.sqrt(hd).astype(q.dtype)
-        a = jax.nn.softmax(a, axis=-1)
-        o = jnp.einsum("bhnm,bmhc->bnhc", a, v).reshape(B, N, d)
+        if N <= 32 and M >= 256:
+            o = _attention_small_q(q, k, v, heads, hd)
+        elif M <= 32 and N >= 256:
+            o = _attention_small_k(q, k, v, heads, hd)
+        else:
+            a = jnp.einsum("bnhc,bmhc->bhnm", q, k)
+            a = jax.nn.softmax(a, axis=-1)
+            o = jnp.einsum("bhnm,bmhc->bnhc", a, v).reshape(B, N, d)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(o)
 
 
@@ -476,37 +531,33 @@ class HyperMLP(nn.Module):
         return x
 
 
-class PixelShuffleUpsample(nn.Module):
-    """ConvTranspose(kernel 2, stride 2) as one GEMM + pixel shuffle.
-
-    Bit-identical to flax ConvTranspose (same param names/shapes, kernel
-    (2, 2, Cin, Cout); the stored kernel is spatially flipped exactly like
-    flax's conv_transpose expects, so converted reference weights are
-    untouched). ConvTranspose lowers to a gradient conv on TPU — this is a
-    plain MXU matmul, measurably faster in the 1024-prompt AMG decode loop.
-    """
+class _ConvTParams(nn.Module):
+    """Holds ConvTranspose-shaped params (kernel (2,2,Cin,Cout) + bias)
+    without applying them — consumed as a plain GEMM in block layout while
+    the checkpoint tree keeps flax's ConvTranspose layout (spatially
+    flipped kernel), so converted reference weights are untouched."""
+    in_ch: int
     out_ch: int
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        B, H, W, C = x.shape
+    def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (2, 2, C, self.out_ch))
+                       (2, 2, self.in_ch, self.out_ch))
         b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-        kf = k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(C, 4 * self.out_ch)
-        y = x.reshape(B * H * W, C) @ kf.astype(x.dtype)
-        y = y.reshape(B, H, W, 2, 2, self.out_ch)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, self.out_ch)
-        return y + b.astype(y.dtype)
+        return k, b
 
 
 class MaskDecoder(nn.Module):
-    """Two-way transformer + hypernetwork mask head (reference mask_decoder.py)."""
+    """Two-way transformer + hypernetwork mask head (reference mask_decoder.py).
+
+    `block_layout=True` (TPU inference) computes the upscale chain as plain
+    GEMMs in block layout — bit-equal results, measured faster than the
+    ConvTranspose lowering in the AMG decode loop."""
     transformer_dim: int = 256
     num_multimask_outputs: int = 3
     twoway_num_heads: int = 8
     twoway_mlp_dim: int = 2048
+    block_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -540,20 +591,44 @@ class MaskDecoder(nn.Module):
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1:1 + self.num_mask_tokens]
 
-        x = src.reshape(B, H, W, C)
-        x = PixelShuffleUpsample(C // 4, dtype=self.dtype,
-                                 name="upscale_conv1")(x)
-        x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
-        x = nn.gelu(x, approximate=False)
-        x = PixelShuffleUpsample(C // 8, dtype=self.dtype,
-                                 name="upscale_conv2")(x)
-        x = nn.gelu(x, approximate=False)  # (B, 4H, 4W, C//8)
-
         hyper = jnp.stack(
             [HyperMLP(C, C // 8, dtype=self.dtype, name=f"hyper_mlps_{i}")(
                 mask_tokens_out[:, i]) for i in range(self.num_mask_tokens)],
             axis=1)  # (B, 4, C//8)
-        masks = jnp.einsum("bkc,bhwc->bkhw", hyper, x)
+        if self.block_layout:
+            # The 2x ConvTranspose(2,2) chain as two plain GEMMs whose
+            # activations stay in block layout (i, j, dy, dx, c) end to end
+            # — XLA's gradient-conv lowering of ConvTranspose ran at ~40
+            # TF/s and dominated the 1024-prompt AMG decode. The only
+            # relayout is the final 4-channel mask tensor (cheap), giving
+            # row-major masks identical to the ConvTranspose path.
+            k1, b1 = _ConvTParams(C, C // 4, name="upscale_conv1")()
+            k2, b2 = _ConvTParams(C // 4, C // 8, name="upscale_conv2")()
+            k1m = k1[::-1, ::-1].transpose(2, 0, 1, 3).reshape(C, 4 * (C // 4))
+            x = src @ k1m.astype(src.dtype)  # (B, H*W, 2*2*(C//4))
+            x = x.reshape(B, H, W, 2, 2, C // 4) + b1.astype(x.dtype)
+            x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
+            x = nn.gelu(x, approximate=False)
+            k2m = k2[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
+                C // 4, 4 * (C // 8))
+            x = x.reshape(-1, C // 4) @ k2m.astype(x.dtype)
+            x = x.reshape(B, H, W, 2, 2, 2, 2, C // 8) + b2.astype(x.dtype)
+            x = nn.gelu(x, approximate=False)  # (b, i, j, p, q, r, s, c)
+            # pure contraction (clean batched GEMM), then one 4-channel
+            # transpose to the separable block-pixel order
+            m = jnp.einsum("bkc,bijpqrsc->bkijpqrs", hyper, x)
+            m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7)  # (b,k, i,p,r, j,q,s)
+            masks = m.reshape(B, self.num_mask_tokens, 4 * H, 4 * W)
+        else:
+            x = src.reshape(B, H, W, C)
+            x = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype, name="upscale_conv1")(x)
+            x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype, name="upscale_conv2")(x)
+            x = nn.gelu(x, approximate=False)  # (B, 4H, 4W, C//8)
+            masks = jnp.einsum("bkc,bhwc->bkhw", hyper, x)
         iou_pred = HyperMLP(256, self.num_mask_tokens, dtype=self.dtype,
                             name="iou_prediction_head")(iou_token_out)
         return masks, iou_pred

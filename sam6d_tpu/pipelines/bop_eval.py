@@ -29,6 +29,41 @@ from .ism import ISMPipeline, detections_to_bop_json
 from .pem import PEMPipeline, _bucket
 
 
+def shard_path(path: str, shard: int, num_shards: int) -> str:
+    """Per-rank output file (reference DDP rank files, detector.py:409-416:
+    each rank writes its own npz set; rank 0 merges in test_epoch_end)."""
+    if num_shards <= 1:
+        return path
+    base, ext = os.path.splitext(path)
+    return f"{base}.shard{shard}of{num_shards}{ext}"
+
+
+def merge_ism_shards(out_json: str, num_shards: int) -> List[Dict]:
+    """Rank-0 merge of ISM shard jsons -> final json (reference
+    test_epoch_end gather, detector.py:425-462)."""
+    records: List[Dict] = []
+    for i in range(num_shards):
+        records.extend(json.load(open(shard_path(out_json, i, num_shards))))
+    records.sort(key=lambda r: (r["scene_id"], r["image_id"]))
+    save_json_bop23(out_json, records)
+    return records
+
+
+def merge_pem_shards(out_csv: str, num_shards: int) -> List[str]:
+    """Rank-0 merge of PEM shard csvs -> final BOP19 csv."""
+    rows: List[str] = []
+    for i in range(num_shards):
+        with open(shard_path(out_csv, i, num_shards)) as f:
+            rows.extend(line.strip() for line in f.readlines()[1:] if line.strip())
+    rows.sort(key=lambda r: (int(r.split(",")[0]), int(r.split(",")[1])))
+    save_bop19_csv(out_csv, rows)
+    return rows
+
+
+def _owns(index: int, shard: int, num_shards: int) -> bool:
+    return num_shards <= 1 or index % num_shards == shard
+
+
 def run_ism_bop_eval(
     pipeline: ISMPipeline,
     dataset_dir: str,
@@ -36,33 +71,46 @@ def run_ism_bop_eval(
     out_json: str,
     dataset_name: str = "",
     max_frames: Optional[int] = None,
+    shard: int = 0,
+    num_shards: int = 1,
 ) -> List[Dict]:
-    """Evaluate ISM on a BOP dataset split; returns + writes the records."""
+    """Evaluate ISM on a BOP dataset split; returns + writes the records.
+    With num_shards > 1 this rank processes frames whose global index
+    i %% num_shards == shard and writes a rank file (merge_ism_shards
+    combines them — the reference's PL-DDP rank-file contract)."""
     clouds = jnp.asarray(np.stack([
         o.sample_points(pipeline.cfg.matching.pointcloud_sample_num)
         for o in objects]))
     scenes = discover_test_scenes(dataset_dir)
     records: List[Dict] = []
-    n = 0
-    for scene in scenes:
-        for im_id in scene.frame_ids():
-            if max_frames is not None and n >= max_frames:
-                break
-            frame = scene.load_frame(im_id)
-            t0 = time.time()
-            result = pipeline.match_frame(
-                frame["rgb"], frame["depth"], frame["K"],
-                frame["depth_scale"], clouds, apply_nms_per_object=True)
-            runtime = time.time() - t0
-            recs = detections_to_bop_json(
-                result, scene_id=frame["scene_id"], image_id=im_id,
-                runtime=runtime)
-            for r in recs:  # dataset-specific category remap (lmo)
-                r["category_id"] = category_id_for(
-                    dataset_name, r["category_id"] - 1)
-            records.extend(recs)
-            n += 1
-    save_json_bop23(out_json, records)
+
+    def frames():
+        n = 0
+        for scene in scenes:
+            for im_id in scene.frame_ids():
+                if max_frames is not None and n >= max_frames:
+                    return
+                if _owns(n, shard, num_shards):
+                    yield im_id, scene.load_frame(im_id)
+                n += 1
+
+    # double-buffered frame IO: decode the next frame while the device
+    # scores the current one (reference uses 16 DataLoader workers)
+    from ..data.prefetch import iter_prefetched
+    for im_id, frame in iter_prefetched(frames(), depth=2):
+        t0 = time.time()
+        result = pipeline.match_frame(
+            frame["rgb"], frame["depth"], frame["K"],
+            frame["depth_scale"], clouds, apply_nms_per_object=True)
+        runtime = time.time() - t0
+        recs = detections_to_bop_json(
+            result, scene_id=frame["scene_id"], image_id=im_id,
+            runtime=runtime)
+        for r in recs:  # dataset-specific category remap (lmo)
+            r["category_id"] = category_id_for(
+                dataset_name, r["category_id"] - 1)
+        records.extend(recs)
+    save_json_bop23(shard_path(out_json, shard, num_shards), records)
     return records
 
 
@@ -74,8 +122,11 @@ def run_pem_bop_eval(
     out_csv: str,
     chunk_size: int = 16,
     max_frames: Optional[int] = None,
+    shard: int = 0,
+    num_shards: int = 1,
 ) -> List[str]:
-    """Evaluate PEM given ISM detections; writes BOP19 csv rows."""
+    """Evaluate PEM given ISM detections; writes BOP19 csv rows (a rank
+    file when num_shards > 1 — merge with merge_pem_shards)."""
     cfg = pipeline.cfg
     loader = PEMTestFrameLoader(
         objects, img_size=cfg.img_size,
@@ -95,21 +146,32 @@ def run_pem_bop_eval(
     grouped = loader.group_detections(detections)
     scenes = {s.scene_id: s for s in discover_test_scenes(dataset_dir)}
     rows: List[str] = []
-    n = 0
-    for (scene_id, im_id), dets in sorted(grouped.items()):
-        if max_frames is not None and n >= max_frames:
-            break
-        scene = scenes.get(scene_id)
-        if scene is None:
-            continue
-        frame = scene.load_frame(im_id)
-        whole_pts = np.asarray(depth_to_pointcloud(
-            jnp.asarray(frame["depth"] * frame["depth_scale"] / 1000.0),
-            jnp.asarray(frame["K"])))
-        t0 = time.time()
-        insts, kept = loader.assemble_instances(frame, dets, whole_pts)
-        if not insts:
-            continue
+
+    def frames():
+        n = 0
+        for fidx, ((scene_id, im_id), dets) in enumerate(sorted(grouped.items())):
+            if max_frames is not None and n >= max_frames:
+                return
+            if not _owns(fidx, shard, num_shards):
+                continue
+            scene = scenes.get(scene_id)
+            if scene is None:
+                continue
+            frame = scene.load_frame(im_id)
+            # host preprocessing (RLE decode, crops, clouds) in the
+            # prefetch thread so it overlaps the device forward
+            whole_pts = np.asarray(depth_to_pointcloud(
+                jnp.asarray(frame["depth"] * frame["depth_scale"] / 1000.0),
+                jnp.asarray(frame["K"])))
+            t0 = time.time()
+            insts, kept = loader.assemble_instances(frame, dets, whole_pts)
+            if not insts:
+                continue
+            yield scene_id, im_id, t0, insts, kept
+            n += 1
+
+    from ..data.prefetch import iter_prefetched
+    for scene_id, im_id, t0, insts, kept in iter_prefetched(frames(), depth=2):
         # chunk instances (reference test_bop.py:130-135)
         for c0 in range(0, len(insts), chunk_size):
             chunk = insts[c0:c0 + chunk_size]
@@ -152,6 +214,5 @@ def run_pem_bop_eval(
                     scene_id, im_id, int(det["category_id"]),
                     float(score[i] * det["score"]), R[i], t[i],
                     dt + float(det.get("time", 0.0))))
-        n += 1
-    save_bop19_csv(out_csv, rows)
+    save_bop19_csv(shard_path(out_csv, shard, num_shards), rows)
     return rows

@@ -108,4 +108,4 @@ def run_demo(
                                  model_points * 1000.0, K)
         Image.fromarray(side_by_side(rgb, vis_pem)).save(
             os.path.join(output_dir, "sam6d_results", "vis_pem.png"))
-    return dict(ism=records, pem=results)
+    return dict(ism=records, pem=results, ism_result=result)

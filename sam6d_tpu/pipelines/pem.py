@@ -46,10 +46,6 @@ class PEMPipeline:
 
     def __init__(self, cfg: PEMConfig, params=None, seed: int = 0,
                  dtype=jnp.float32, mesh=None):
-        if jax.default_backend() == "tpu" and not cfg.vit.use_flash:
-            # inference-only pipeline: fused attention for the MAE ViT
-            cfg = dataclasses.replace(
-                cfg, vit=dataclasses.replace(cfg.vit, use_flash=True))
         self.cfg = cfg
         self.net = PEMNet(cfg, dtype=dtype)
         if params is None:

@@ -84,7 +84,7 @@ class SAMSegmentor:
             input_image_size=(cfg.img_size, cfg.img_size),
             image_embedding_size=(grid, grid), dtype=dtype)
         self.mask_decoder = MaskDecoder(transformer_dim=cfg.prompt_embed_dim,
-                                        dtype=dtype)
+                                        block_layout=use_flash, dtype=dtype)
         if variables is None:
             variables = self._random_init(seed)
         elif variables == "eval_shape":
@@ -269,6 +269,17 @@ class SAMSegmentor:
         H0, W0 = dev["orig_size"]
         hs, ws = dev["seg_size"]
         masks = dev["masks"]
+        if self.cfg.min_mask_region_area > 0:
+            # host-side hole/island cleanup + re-NMS (reference
+            # automatic_mask_generator.py:323-372; disabled at the reference
+            # operating point min_mask_region_area=0)
+            from ..ops.masks import postprocess_small_regions
+            m_np, boxes_np, keep = postprocess_small_regions(
+                np.asarray(masks).astype(np.float32), np.asarray(dev["valid"]),
+                self.cfg.min_mask_region_area, self.cfg.box_nms_thresh)
+            masks = jnp.asarray(m_np)
+            dev = dict(dev, boxes=jnp.asarray(boxes_np),
+                       valid=jnp.asarray(keep))
         if (H0, W0) != (hs, ws):
             My = jnp.asarray(bilinear_matrix(H0, hs))
             Mx = jnp.asarray(bilinear_matrix(W0, ws))

@@ -43,19 +43,31 @@ def render_templates(
     base_color: float = 0.4,
     image_size: int = RENDER_SIZE,
     views=None,
+    cam_distance: Optional[float] = None,
+    cam_poses: Optional[np.ndarray] = None,
+    xyz_scale: float = 1.0,
+    xyz_rot: Optional[np.ndarray] = None,
+    subdir: str = "templates",
 ) -> str:
-    """Render level-`level` views into `{output_dir}/templates`; `views`
-    optionally restricts to a subset of view indices (files keep their
-    canonical view index in the name)."""
+    """Render views into `{output_dir}/{subdir}`; `views` optionally
+    restricts to a subset of view indices (files keep their canonical view
+    index in the name). `cam_distance` overrides the camera radius (the BOP
+    driver uses 2*diameter — reference render_bop_templates.py:28-30 scales
+    by 1/diameter with the camera at 2 Blender units); `cam_poses` replaces
+    the icosphere set entirely (training-template drivers); saved xyz is
+    `xyz_rot @ (local * xyz_scale)` (ShapeNet rot90 / NOCS conventions)."""
     import jax.numpy as jnp
 
-    save_dir = os.path.join(output_dir, "templates")
+    save_dir = os.path.join(output_dir, subdir) if subdir else output_dir
     os.makedirs(save_dir, exist_ok=True)
 
     verts = mesh.vertices.astype(np.float64)
     radius = float(np.linalg.norm(verts, axis=1).max())
-    cam_poses = template_cam_poses(level, radius=4.0 * radius)  # reference
-    # distance: blender cam at 2 units with object scaled by 1/(2r) -> 4r
+    if cam_poses is None:
+        # reference custom distance: blender cam at 2 units with the object
+        # scaled by 1/(2r) -> 4r
+        dist = cam_distance if cam_distance is not None else 4.0 * radius
+        cam_poses = template_cam_poses(level, radius=dist)
 
     K = np.array([[RENDER_FOCAL * image_size / RENDER_SIZE, 0, image_size / 2],
                   [0, RENDER_FOCAL * image_size / RENDER_SIZE, image_size / 2],
@@ -105,11 +117,13 @@ def render_templates(
         mask = np.asarray(mask)
 
         rgb = (np.clip(attr_img[..., :3], 0, 1) * 255).astype(np.uint8)
-        xyz = attr_img[..., 3:6].astype(np.float16)
+        xyz = attr_img[..., 3:6].astype(np.float32) * xyz_scale
+        if xyz_rot is not None:
+            xyz = xyz @ np.asarray(xyz_rot, np.float32).T
         Image.fromarray(rgb).save(os.path.join(save_dir, f"rgb_{i}.png"))
         Image.fromarray((mask * 255).astype(np.uint8)).save(
             os.path.join(save_dir, f"mask_{i}.png"))
-        np.save(os.path.join(save_dir, f"xyz_{i}.npy"), xyz)
+        np.save(os.path.join(save_dir, f"xyz_{i}.npy"), xyz.astype(np.float16))
     return save_dir
 
 
@@ -117,3 +131,118 @@ def render_custom_templates(cad_path: str, output_dir: str, level: int = 0):
     """CLI-equivalent of the reference script (mm-unit CAD)."""
     mesh = load_ply(cad_path)
     return render_templates(mesh, output_dir, level=level)
+
+
+def render_bop_templates(dataset_dir: str, output_root: str,
+                         dataset_name: str, level: int = 0,
+                         obj_ids=None, image_size: int = RENDER_SIZE):
+    """Per-object template sets for one BOP dataset (reference
+    Render/render_bop_templates.py:28-47): camera distance from the
+    1/diameter normalization (the reference scales the CAD by 1/diameter
+    with the camera at 2 Blender units -> 2*diameter in mesh units), gray
+    0.4 material for tless (:43-47). Saves LOCAL mm coordinates in
+    xyz_i.npy — the contract both this framework's BOPObject.load_template
+    and the reference's own PEM consumer (bop_object_utils.py:57) expect
+    (/1000 -> meters).
+
+    Output layout: {output_root}/{dataset_name}/obj_{id:06d}/{rgb,mask,xyz}_i.
+    """
+    models_dir = "models_cad" if dataset_name == "tless" else "models"
+    model_path = os.path.join(dataset_dir, models_dir)
+    import json
+    info = json.load(open(os.path.join(model_path, "models_info.json")))
+    out_dirs = []
+    for key in sorted(info.keys(), key=int):
+        obj_id = int(key)
+        if obj_ids is not None and obj_id not in obj_ids:
+            continue
+        mesh = load_ply(os.path.join(model_path, f"obj_{obj_id:06d}.ply"))
+        diameter = float(info[key]["diameter"])
+        out_dir = os.path.join(output_root, dataset_name, f"obj_{obj_id:06d}")
+        render_templates(
+            mesh, out_dir, level=level, base_color=0.4,
+            image_size=image_size, cam_distance=2.0 * diameter, subdir="")
+        out_dirs.append(out_dir)
+    return out_dirs
+
+
+# ShapeNet NOCS frame fix (reference render_shapenet_templates.py:105-112)
+SHAPENET_ROT90 = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+
+
+def _corner_radius(verts: np.ndarray) -> float:
+    """Reference get_norm_info convention (render_custom_templates.py:23-34):
+    the larger norm of the axis-wise min/max corner vectors."""
+    return float(max(np.linalg.norm(verts.max(0)), np.linalg.norm(verts.min(0))))
+
+
+def render_training_templates(mesh: Mesh, save_dir: str,
+                              shapenet: bool = False,
+                              image_size: int = RENDER_SIZE):
+    """Two-view training templates (reference render_gso_templates.py:61-68 /
+    render_shapenet_templates.py): cameras at +-(1,1,1) in normalized units
+    (i.e. +-(1,1,1)*2r in mesh units, r from the corner-radius convention)
+    looking at the origin; xyz saved in the reference's NOCS convention
+    local/r (range <= 1; the MegaPose training reader multiplies by 0.1 —
+    training_dataset.py:294 / data/megapose.py template_scale), with the
+    rot90 NOCS frame fix for ShapeNetCore."""
+    r = _corner_radius(mesh.vertices)
+    locs = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]) * 2.0 * r
+    from .poses import look_at
+    cam_poses = np.stack([look_at(loc, np.zeros(3)) for loc in locs])
+    return render_templates(
+        mesh, save_dir, cam_poses=cam_poses, image_size=image_size,
+        xyz_scale=1.0 / max(r, 1e-12),
+        xyz_rot=SHAPENET_ROT90 if shapenet else None, subdir="")
+
+
+def render_gso_templates(data_dir: str, obj_indices=None,
+                         image_size: int = RENDER_SIZE):
+    """All GSO training templates into the layout MegaPoseDataset._template
+    reads: {data_dir}/MegaPose-GSO/templates/{gso_id}/ (reference
+    render_gso_templates.py)."""
+    import json
+    root = os.path.join(data_dir, "MegaPose-GSO")
+    info = json.load(open(os.path.join(
+        root, "google_scanned_objects", "models_info.json")))
+    out = []
+    for idx, rec in enumerate(info):
+        if obj_indices is not None and idx not in obj_indices:
+            continue
+        mesh_path = os.path.join(root, "google_scanned_objects", "models_normalized",
+                                 rec["gso_id"], "meshes", "model.ply")
+        if not os.path.exists(mesh_path):
+            continue
+        save_dir = os.path.join(root, "templates", rec["gso_id"])
+        mesh = load_ply(mesh_path)
+        render_training_templates(mesh, save_dir, shapenet=False,
+                                  image_size=image_size)
+        out.append(save_dir)
+    return out
+
+
+def render_shapenet_templates(data_dir: str, obj_indices=None,
+                              image_size: int = RENDER_SIZE):
+    """All ShapeNetCore training templates into
+    {data_dir}/MegaPose-ShapeNetCore/templates/{synset}/{source}/ with the
+    rot90 NOCS fix (reference render_shapenet_templates.py:105-112)."""
+    import json
+    root = os.path.join(data_dir, "MegaPose-ShapeNetCore")
+    info = json.load(open(os.path.join(root, "shapenetcorev2",
+                                       "models_info.json")))
+    out = []
+    for idx, rec in enumerate(info):
+        if obj_indices is not None and idx not in obj_indices:
+            continue
+        mesh_path = os.path.join(
+            root, "shapenetcorev2", "models_orig", rec["shapenet_synset_id"],
+            rec["shapenet_source_id"], "models", "model_normalized.ply")
+        if not os.path.exists(mesh_path):
+            continue
+        save_dir = os.path.join(root, "templates", rec["shapenet_synset_id"],
+                                rec["shapenet_source_id"])
+        mesh = load_ply(mesh_path)
+        render_training_templates(mesh, save_dir, shapenet=True,
+                                  image_size=image_size)
+        out.append(save_dir)
+    return out

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--datasets", nargs="*", default=BOP_DATASETS)
     p.add_argument("--stage", default="all", choices=["ism", "pem", "all"])
     p.add_argument("--onboarding", default="pbr", choices=["pbr", "render"])
+    p.add_argument("--shard", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--merge_shards", action="store_true")
     p.add_argument("--reset_descriptors", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
@@ -46,6 +49,8 @@ def main():
             models_dir="models_cad" if name == "tless" else "models",
             output_dir=os.path.join(args.output_dir, name),
             stage=args.stage, seg_path=None, max_frames=args.max_frames,
+            shard=args.shard, num_shards=args.num_shards,
+            merge_shards=args.merge_shards,
             onboarding=args.onboarding,
             reset_descriptors=args.reset_descriptors,
             sam_ckpt=args.sam_ckpt, dinov2_ckpt=args.dinov2_ckpt,

@@ -122,3 +122,78 @@ def test_onboard_bop_objects_with_cache(tmp_path, rng):
     ref2 = pipe2.onboard_bop_objects([obj], cache_path=cache, n_template_view=3)
     np.testing.assert_allclose(np.asarray(ref2["descriptors"]),
                                np.asarray(ref["descriptors"]), atol=1e-6)
+
+
+def test_shard_merge_equals_single_run(tmp_path):
+    """Two shards + merge == single-process run (the reference's PL-DDP
+    rank-file merge contract, detector.py:425-462)."""
+    from sam6d_tpu.pipelines.bop_eval import (merge_ism_shards, shard_path)
+
+    make_mini_bop(tmp_path, n_frames=4)
+    objs = load_bop_objects(str(tmp_path / "models"))
+    from sam6d_tpu.render.templates import render_templates
+    render_templates(objs[0].mesh, str(tmp_path / "tobj"), level=0,
+                     image_size=64, views=[0, 1])
+    objs[0].template_dir = str(tmp_path / "tobj" / "templates")
+
+    ism_cfg = tiny_ism_cfg()
+    seg = SAMSegmentor(tiny_sam_cfg(), seed=3)
+    ism = ISMPipeline(ism_cfg, segmentor=seg, seed=3)
+    ism.onboard_templates_from_dir(objs[0].template_dir, num_templates=2)
+
+    single = str(tmp_path / "single.json")
+    want = run_ism_bop_eval(ism, str(tmp_path), objs, single)
+
+    sharded = str(tmp_path / "sharded.json")
+    for r in range(2):
+        run_ism_bop_eval(ism, str(tmp_path), objs, sharded,
+                         shard=r, num_shards=2)
+        assert os.path.exists(shard_path(sharded, r, 2))
+    merged = merge_ism_shards(sharded, 2)
+
+    def key(rec):
+        return (rec["scene_id"], rec["image_id"], rec["category_id"],
+                tuple(rec["bbox"]), round(rec["score"], 5))
+    assert sorted(map(key, merged)) == sorted(map(key, want))
+
+
+def test_golden_harness_pure_functions(tmp_path, rng):
+    """Record/compare roundtrip + vis-footprint extraction (the verify-weights
+    CLI's core, runnable without real checkpoints)."""
+    from sam6d_tpu.eval.golden import (record_golden, compare_to_golden,
+                                       extract_vis_footprint, footprint_checks,
+                                       find_checkpoints)
+    from PIL import Image
+
+    masks = (rng.rand(3, 16, 16) > 0.6).astype(np.float32)
+    ism = dict(masks=masks, valid=np.array([True, True, False]),
+               scores=np.array([0.9, 0.5, 0.0], np.float32),
+               object_ids=np.array([0, 0, 0]))
+    pem = [dict(R=np.eye(3).ravel().tolist(), t=[1.0, 2.0, 500.0], score=0.8)]
+    g = str(tmp_path / "golden.npz")
+    record_golden(g, ism, pem)
+    rep = compare_to_golden(g, ism, pem)
+    assert rep["ok"], rep
+    # perturbed pose fails the rotation tolerance
+    import scipy.spatial.transform as st
+    Rbad = st.Rotation.from_euler("z", 10, degrees=True).as_matrix()
+    pem_bad = [dict(R=Rbad.ravel().tolist(), t=[1.0, 2.0, 500.0], score=0.8)]
+    rep2 = compare_to_golden(g, ism, pem_bad)
+    assert not rep2["ok"] and not rep2["checks"]["rot_deg_max"]["ok"]
+
+    # vis footprint: overlay = rgb with a painted square
+    rgb = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    vis = rgb.copy()
+    vis[4:12, 4:12] = [255, 0, 0]
+    Image.fromarray(rgb).save(tmp_path / "rgb.png")
+    Image.fromarray(vis).save(tmp_path / "vis.png")
+    fp = extract_vis_footprint(str(tmp_path / "vis.png"), str(tmp_path / "rgb.png"))
+    assert fp[4:12, 4:12].mean() > 0.9 and fp.mean() < 0.5
+    det = np.zeros((1, 16, 16), np.float32)
+    det[0, 4:12, 4:12] = 1
+    fc = footprint_checks(det, np.array([True]), fp)
+    assert fc["best_containment"] > 0.9
+
+    assert find_checkpoints(str(tmp_path))["sam"] is None
+    open(tmp_path / "sam_vit_h_4b8939.pth", "w").write("x")
+    assert find_checkpoints(str(tmp_path))["sam"] is not None

@@ -197,3 +197,38 @@ def test_native_rle_speed(rng):
     python_t = time.perf_counter() - t0
     # informative bound only — native must not be slower
     assert native_t < python_t * 2
+
+
+def test_remove_small_regions_holes_and_islands():
+    from sam6d_tpu.ops.masks import remove_small_regions
+
+    m = np.zeros((20, 20), bool)
+    m[2:18, 2:18] = True
+    m[8:10, 8:10] = False      # 4-px hole
+    m[0, 19] = True            # 1-px island (disconnected)
+    out, changed = remove_small_regions(m, 6, "holes")
+    assert changed and out[8:10, 8:10].all()  # hole filled
+    out2, changed2 = remove_small_regions(out, 6, "islands")
+    assert changed2 and not out2[0, 19]       # island dropped
+    assert out2[2:18, 2:18].all()
+    # no-ops when everything is big enough
+    _, ch = remove_small_regions(out2, 1, "islands")
+    assert not ch
+
+
+def test_postprocess_small_regions_keeps_unchanged_on_dup():
+    from sam6d_tpu.ops.masks import postprocess_small_regions
+
+    H = W = 24
+    clean = np.zeros((H, W), np.float32)
+    clean[4:20, 4:20] = 1
+    dirty = clean.copy()
+    dirty[10, 10] = 0           # small hole -> will be filled -> duplicate
+    masks = np.stack([dirty, clean, np.zeros((H, W), np.float32)])
+    valid = np.array([True, True, False])
+    out_m, out_b, keep = postprocess_small_regions(masks, valid, 4, 0.7)
+    # the hole got filled, producing a duplicate of the clean mask; NMS
+    # keeps the UNCHANGED one (score 1 beats 0)
+    assert keep[1] and not keep[0] and not keep[2]
+    assert out_m[0, 10, 10] == 1  # edited in place before NMS
+    assert (out_b[1] == np.array([4, 4, 20, 20])).all()

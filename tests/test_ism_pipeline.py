@@ -101,3 +101,51 @@ def test_ism_pipeline_end_to_end(segmentor, tmp_path, rng):
         r = recs[0]
         assert set(r) == {"scene_id", "image_id", "category_id", "bbox",
                           "score", "time", "segmentation"}
+
+
+def test_adaptive_describe_matches_full_for_valid_prefix(rng):
+    """The dynamic-trip-count describe (only ceil(n_valid/chunk) DINOv2
+    chunks run) must produce identical scores for valid proposals as the
+    full fixed-capacity describe."""
+    import jax
+
+    cfg = tiny_ism_cfg()
+    pipe = ISMPipeline(cfg)
+    H, W = 48, 64
+    K = 16
+    rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(K, H, W) > 0.7).astype(np.float32))
+    boxes = np.zeros((K, 4), np.float32)
+    boxes[:, 0] = rng.randint(0, W // 2, K)
+    boxes[:, 1] = rng.randint(0, H // 2, K)
+    boxes[:, 2] = boxes[:, 0] + rng.randint(8, W // 2, K)
+    boxes[:, 3] = boxes[:, 1] + rng.randint(8, H // 2, K)
+    boxes = jnp.asarray(boxes)
+    # valid prefix of 5 (chunk size 8 -> 1 of 2 chunks needed)
+    valid = jnp.asarray(np.arange(K) < 5)
+    depth = jnp.asarray((rng.rand(H, W) * 900 + 100).astype(np.float32))
+    Kmat = jnp.asarray(np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]],
+                                np.float32))
+    d = cfg.dinov2
+    n_patch = (d.img_size // d.patch_size) ** 2
+    ref_desc = jnp.asarray(rng.rand(1, 3, d.embed_dim).astype(np.float32))
+    ref_appe = jnp.asarray(rng.rand(1, 3, n_patch, d.embed_dim).astype(np.float32))
+    poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (3, 1, 1)))
+    clouds = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32) * 0.05)
+
+    out = pipe._score_frame_impl(
+        pipe.dinov2_vars, rgb01, masks, boxes, valid, depth, Kmat,
+        jnp.float32(1.0), ref_desc, ref_appe, poses_R, clouds,
+        apply_nms=False, apply_size_filters=False)
+    # full describe on everything, scored identically
+    cls_full, patch_full = pipe._describe_impl(
+        pipe.dinov2_vars, rgb01, masks, boxes.astype(jnp.int32))
+    from sam6d_tpu.models import ism_scoring
+    sem = ism_scoring.semantic_scores(cls_full, ref_desc, valid,
+                                      cfg.matching.aggregation_function,
+                                      cfg.matching.confidence_thresh)
+    v_idx = np.where(np.asarray(valid))[0]
+    np.testing.assert_allclose(np.asarray(out["semantic_score"])[v_idx],
+                               np.asarray(sem["score"])[v_idx], atol=1e-5)
+    # invalid slots can never be selected
+    assert not np.asarray(out["valid"])[5:].any()

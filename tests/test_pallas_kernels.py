@@ -128,3 +128,18 @@ def test_vit_attention_flash_matches_einsum(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(Attention(64, 4, use_flash=True).apply(v, x))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_two_scale_ball_query_pallas_matches_xla(rng):
+    from sam6d_tpu.kernels.ball_query import two_scale_ball_query_pallas
+    from sam6d_tpu.ops.ball_query import two_scale_ball_query
+
+    xyz = rng.rand(2, 80, 3).astype(np.float32)
+    new_xyz = rng.rand(2, 64, 3).astype(np.float32)
+    i1, i2 = two_scale_ball_query_pallas(
+        jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 4, 0.4, 8,
+        block_m=32, interpret=True)
+    w1, w2 = two_scale_ball_query(0.2, 4, 0.4, 8,
+                                  jnp.asarray(xyz), jnp.asarray(new_xyz))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(w2))

@@ -65,3 +65,47 @@ def test_mask_decoder_parity(rng):
     got_m, got_iou = dec.apply({"params": params}, *map(jnp.array, (img, pe, sparse, dense)))
     np.testing.assert_allclose(np.asarray(got_iou), want_iou.numpy(), atol=3e-4)
     np.testing.assert_allclose(np.asarray(got_m), want_m.numpy(), atol=3e-4)
+
+
+def test_skinny_attention_formulations_match_direct(rng):
+    """Block-diagonal head-merge attention == direct einsum attention at
+    the AMG decode's skinny shapes (12 tokens vs 4096 image positions)."""
+    import jax
+    import jax.numpy as jnp
+    from sam6d_tpu.models.sam import _attention_small_q, _attention_small_k
+
+    B, H, hd = 2, 8, 16
+    for N, M, fn in [(12, 512, _attention_small_q),
+                     (512, 12, _attention_small_k)]:
+        q = jnp.asarray(rng.randn(B, N, H, hd).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(B, M, H, hd).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(B, M, H, hd).astype(np.float32))
+        a = jnp.einsum("bnhc,bmhc->bhnm", q, k)
+        a = jax.nn.softmax(a, axis=-1)
+        want = np.asarray(jnp.einsum("bhnm,bmhc->bnhc", a, v).reshape(B, N, H * hd))
+        got = np.asarray(fn(q, k, v, H, hd))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_mask_decoder_block_layout_matches_convtranspose(rng):
+    """block_layout upscale (TPU inference path) == ConvTranspose path."""
+    import jax
+    import jax.numpy as jnp
+    from sam6d_tpu.models.sam import MaskDecoder
+
+    g, C = 8, 32
+    dec = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                      twoway_mlp_dim=64, block_layout=False)
+    emb = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(3, 2, C).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    v = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    want_m, want_iou = dec.apply(v, emb, pe, sparse, dense)
+    dec_b = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                        twoway_mlp_dim=64, block_layout=True)
+    got_m, got_iou = dec_b.apply(v, emb, pe, sparse, dense)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_iou), np.asarray(want_iou),
+                               atol=2e-5)
