@@ -124,6 +124,13 @@ class SAMConfig:
     min_mask_region_area: int = 0
     segmentor_width_size: int = 640  # pre-resize width (model/sam.py:107-119)
     max_proposals: int = 512         # fixed capacity of surviving proposals
+    # AMG pre-rank capacity: a cheap frozen-image decode pass ranks all
+    # grid prompts, then only the top amg_prerank prompts get the exact
+    # (image<-token coupled) decode + scoring. 0 disables (exact decode of
+    # the full grid). Capacity-style approximation: only affects which
+    # prompts reach exact scoring, and keeps 8x the final proposal budget.
+    amg_prerank: int = 1024
+    amg_rank_chunk: int = 1024       # prompts per chunk in the rank pass
 
 
 @dataclass(frozen=True)

@@ -366,85 +366,123 @@ class PromptEncoder(nn.Module):
 
 # ---------------------------------------------------------- mask decoder
 
-def _attention_small_q(q, k, v, heads, hd):
-    """Multi-head attention where N_q is tiny and N_k is large (the two-way
-    decoder's token->image attention: 12 queries over 4096 keys per prompt).
+class _DenseParams2(nn.Module):
+    """Dense-shaped params (kernel (in, out) + bias) consumed by hand-written
+    matmul formulations; the variable tree is identical to nn.Dense so the
+    reference-checkpoint converters are untouched."""
+    in_dim: int
+    features: int
 
-    The per-head matmuls are (12, 16) @ (16, 4096) — the MXU runs those at
-    <1 TF/s, and they dominated the whole AMG decode. Trick: embed the heads
-    BLOCK-DIAGONALLY into one (H*Nq, H*hd) operand so the batched GEMM
-    becomes (96, 128) @ (128, Nk) — ideal MXU shapes. The off-diagonal
-    products are exact zeros (q_block is zero outside its head's slice), so
-    results are bit-identical up to fp reduction order; the 8x FLOP padding
-    is free at these sizes. Same trick for PV with a diagonal extraction.
-    q: (B, N, H, hd); k/v: (B, M, H, hd). Returns (B, N, H*hd)."""
-    B, N, H, _ = q.shape
-    M = k.shape[1]
-    eye = jnp.eye(H, dtype=q.dtype)
-    # q_block[b, h*N+n, g*hd+c] = q[b,n,h,c] * delta(h,g)
-    qb = jnp.einsum("bnhc,hg->bhngc", q, eye).reshape(B, H * N, H * hd)
-    k_flat = k.reshape(B, M, H * hd)
-    s = jnp.einsum("bqc,bmc->bqm", qb, k_flat)  # (B, H*N, M)
-    p = jax.nn.softmax(s.reshape(B, H, N, M), axis=-1).reshape(B, H * N, M)
-    v_flat = v.reshape(B, M, H * hd)
-    res = jnp.einsum("bqm,bmc->bqc", p, v_flat)  # (B, H*N, H*hd)
-    # diagonal blocks: out[b,n,h,c] = res[b, h*N+n, h*hd+c]
-    out = jnp.einsum("bhngc,hg->bnhc", res.reshape(B, H, N, H, hd), eye)
-    return out.reshape(B, N, H * hd)
-
-
-def _attention_small_k(q, k, v, heads, hd):
-    """Mirror of _attention_small_q for large N_q over tiny N_k (the
-    decoder's image->token attention: 4096 queries over 12 keys). k and v
-    are embedded block-diagonally; the output lands directly in the
-    flattened (h, c) layout with zero off-diagonal contamination.
-    q: (B, N, H, hd); k/v: (B, M, H, hd). Returns (B, N, H*hd)."""
-    B, N, H, _ = q.shape
-    M = k.shape[1]
-    eye = jnp.eye(H, dtype=q.dtype)
-    q_flat = q.reshape(B, N, H * hd)
-    # k_block[b, g*hd+c, h*M+n] = k[b,n,h,c] * delta(h,g)
-    kb = jnp.einsum("bnhc,hg->bgchn", k, eye).reshape(B, H * hd, H * M)
-    s = jnp.einsum("bnc,bck->bnk", q_flat, kb)  # (B, N, H*M)
-    p = jax.nn.softmax(s.reshape(B, N, H, M), axis=-1).reshape(B, N, H * M)
-    # v_block[b, h*M+n, g*hd+c] = v[b,n,h,c] * delta(h,g)
-    vb = jnp.einsum("bnhc,hg->bhngc", v, eye).reshape(B, H * M, H * hd)
-    return jnp.einsum("bnk,bkc->bnc", p, vb)  # (B, N, H*hd)
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class DownsampleAttention(nn.Module):
     """Attention with channel downsample (reference transformer.Attention).
 
-    Skinny shapes (few tokens on one side) route through the block-diagonal
-    head-merge formulations above — numerically identical, ~10x faster on
-    the MXU at the AMG decode's shapes."""
+    TPU formulation notes (all exact — only fp reduction order differs):
+    - skinny shapes (few tokens on one side) embed the heads BLOCK-
+      DIAGONALLY into one (H*Nq, H*hd) operand so the per-head (12, 16) @
+      (16, 4096) matmuls become one MXU-shaped GEMM. Off-diagonal products
+      are exact zeros.
+    - when k/v (or q) arrive with batch 1 against a batch-B other side
+      (the AMG decode: all prompts share the image tensor until the first
+      image<-token update), the shared side is projected ONCE and the
+      einsums broadcast — this removes the dominant per-prompt image
+      projections in layer 1 of the two-way transformer.
+    - in the image<-token direction the output projection is reassociated:
+      out = P @ (V_block @ W_out) instead of (P @ V_block) @ W_out, which
+      contracts to the 7-token rank first (2.8x fewer FLOPs)."""
     embed_dim: int
     num_heads: int
     downsample_rate: int = 1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, q, k, v):
+    def setup(self):
         d = self.embed_dim // self.downsample_rate
-        heads = self.num_heads
-        hd = d // heads
-        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(q)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(k)
-        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(v)
+        self.inner_dim = d
+        self.q_proj = _DenseParams2(self.embed_dim, d, name="q_proj")
+        self.k_proj = _DenseParams2(self.embed_dim, d, name="k_proj")
+        self.v_proj = _DenseParams2(self.embed_dim, d, name="v_proj")
+        self.out_proj = _DenseParams2(d, self.embed_dim, name="out_proj")
+
+    def _apply(self, mod, x):
+        k, b = mod()
+        return x.astype(self.dtype) @ k.astype(self.dtype) + b.astype(self.dtype)
+
+    def _small_q(self, q, k, v):
+        """q: (B, N, d) tiny N; k/v: (Bk in {1, B}, M, d) large M."""
         B, N, _ = q.shape
         M = k.shape[1]
-        q = q.reshape(B, N, heads, hd) / jnp.sqrt(hd).astype(q.dtype)
-        k = k.reshape(B, M, heads, hd)
-        v = v.reshape(B, M, heads, hd)
-        if N <= 32 and M >= 256:
-            o = _attention_small_q(q, k, v, heads, hd)
-        elif M <= 32 and N >= 256:
-            o = _attention_small_k(q, k, v, heads, hd)
+        H = self.num_heads
+        hd = self.inner_dim // H
+        eye = jnp.eye(H, dtype=q.dtype)
+        qb = jnp.einsum("bnhc,hg->bhngc", q.reshape(B, N, H, hd),
+                        eye).reshape(B, H * N, H * hd)
+        if k.shape[0] == 1 and B > 1:
+            s = jnp.einsum("bqc,mc->bqm", qb, k[0])
         else:
-            a = jnp.einsum("bnhc,bmhc->bhnm", q, k)
+            s = jnp.einsum("bqc,bmc->bqm", qb, k)
+        p = jax.nn.softmax(s.reshape(B, H, N, M), axis=-1).reshape(B, H * N, M)
+        if v.shape[0] == 1 and B > 1:
+            res = jnp.einsum("bqm,mc->bqc", p, v[0])
+        else:
+            res = jnp.einsum("bqm,bmc->bqc", p, v)
+        out = jnp.einsum("bhngc,hg->bnhc", res.reshape(B, H, N, H, hd), eye)
+        return out.reshape(B, N, H * hd)
+
+    def _small_k_out(self, q, k, v):
+        """q: (Bq in {1, B}, N, d) large N; k/v: (B, M, d) tiny M. Returns
+        the attention output WITH out_proj applied (reassociated)."""
+        B, M, _ = k.shape
+        N = q.shape[1]
+        H = self.num_heads
+        hd = self.inner_dim // H
+        eye = jnp.eye(H, dtype=q.dtype)
+        kb = jnp.einsum("bnhc,hg->bgchn", k.reshape(B, M, H, hd),
+                        eye).reshape(B, H * hd, H * M)
+        if q.shape[0] == 1 and B > 1:
+            s = jnp.einsum("nc,bck->bnk", q[0], kb)
+        else:
+            s = jnp.einsum("bnc,bck->bnk", q, kb)
+        p = jax.nn.softmax(s.reshape(B, N, H, M), axis=-1).reshape(B, N, H * M)
+        vb = jnp.einsum("bnhc,hg->bhngc", v.reshape(B, M, H, hd),
+                        eye).reshape(B, H * M, H * hd)
+        ko, bo = self.out_proj()
+        vbo = vb @ ko.astype(vb.dtype)  # (B, H*M, embed_dim): rank-first
+        return jnp.einsum("bnk,bkc->bnc", p, vbo) + bo.astype(vb.dtype)
+
+    def __call__(self, q, k, v):
+        """q: (B, N, C); k/v: (Bk, M, C) with Bk in {1, B} (Bk=1 = shared
+        across the batch, projected once)."""
+        H = self.num_heads
+        hd = self.inner_dim // H
+        qp = self._apply(self.q_proj, q) / jnp.sqrt(hd).astype(self.dtype)
+        kp = self._apply(self.k_proj, k)
+        vp = self._apply(self.v_proj, v)
+        B = max(qp.shape[0], kp.shape[0])
+        N = qp.shape[1]
+        M = kp.shape[1]
+        if N <= 32 and M >= 256:
+            o = self._small_q(qp, kp, vp)
+        elif M <= 32 and N >= 256:
+            return self._small_k_out(qp, kp, vp)
+        else:
+            if kp.shape[0] == 1 and B > 1:
+                kp = jnp.broadcast_to(kp, (B, M, kp.shape[-1]))
+                vp = jnp.broadcast_to(vp, (B, M, vp.shape[-1]))
+            if qp.shape[0] == 1 and B > 1:
+                qp = jnp.broadcast_to(qp, (B, N, qp.shape[-1]))
+            a = jnp.einsum("bnhc,bmhc->bhnm", qp.reshape(B, N, H, hd),
+                           kp.reshape(B, M, H, hd))
             a = jax.nn.softmax(a, axis=-1)
-            o = jnp.einsum("bhnm,bmhc->bnhc", a, v).reshape(B, N, d)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(o)
+            o = jnp.einsum("bhnm,bmhc->bnhc", a, vp.reshape(B, M, H, hd))
+            o = o.reshape(B, N, self.inner_dim)
+        return self._apply(self.out_proj, o)
 
 
 class TwoWayAttentionBlock(nn.Module):
@@ -454,38 +492,49 @@ class TwoWayAttentionBlock(nn.Module):
     skip_first_layer_pe: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
+    def setup(self):
+        self.self_attn = DownsampleAttention(self.embed_dim, self.num_heads,
+                                             1, dtype=self.dtype,
+                                             name="self_attn")
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.cross_attn_token_to_image = DownsampleAttention(
+            self.embed_dim, self.num_heads, 2, dtype=self.dtype,
+            name="cross_attn_token_to_image")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        self.mlp = MLPBlock(self.mlp_dim, self.embed_dim, act="relu",
+                            dtype=self.dtype, name="mlp")
+        self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        self.norm4 = nn.LayerNorm(dtype=self.dtype, name="norm4")
+        self.cross_attn_image_to_token = DownsampleAttention(
+            self.embed_dim, self.num_heads, 2, dtype=self.dtype,
+            name="cross_attn_image_to_token")
+
+    def __call__(self, queries, keys, query_pe, key_pe, update_keys=True):
+        """keys/key_pe may have batch 1 (shared across prompts) while
+        queries has batch B. With update_keys=False the image<-token update
+        is dropped (keys pass through norm4 with a zero delta) — the AMG
+        pre-rank approximation; with update_keys=True results are exact
+        regardless of whether keys arrived shared or batched."""
         if self.skip_first_layer_pe:
             # first layer replaces queries outright (reference transformer.py:155-156)
-            queries = DownsampleAttention(self.embed_dim, self.num_heads, 1,
-                                          dtype=self.dtype, name="self_attn")(
-                queries, queries, queries)
+            queries = self.self_attn(queries, queries, queries)
         else:
             q = queries + query_pe
-            attn = DownsampleAttention(self.embed_dim, self.num_heads, 1,
-                                       dtype=self.dtype, name="self_attn")(
-                q, q, queries)
-            queries = queries + attn
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm1")(queries)
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
 
         q = queries + query_pe
         k = keys + key_pe
-        attn = DownsampleAttention(self.embed_dim, self.num_heads, 2,
-                                   dtype=self.dtype,
-                                   name="cross_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm2")(queries + attn)
+        queries = self.norm2(
+            queries + self.cross_attn_token_to_image(q, k, keys))
+        queries = self.norm3(queries + self.mlp(queries))
 
-        mlp = MLPBlock(self.mlp_dim, self.embed_dim, act="relu",
-                       dtype=self.dtype, name="mlp")(queries)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm3")(queries + mlp)
-
+        if not update_keys:
+            return queries, self.norm4(keys)
         q = queries + query_pe
         k = keys + key_pe
-        attn = DownsampleAttention(self.embed_dim, self.num_heads, 2,
-                                   dtype=self.dtype,
-                                   name="cross_attn_image_to_token")(k, q, queries)
-        keys = nn.LayerNorm(dtype=self.dtype, name="norm4")(keys + attn)
+        attn = self.cross_attn_image_to_token(k, q, queries)
+        keys = self.norm4(keys + attn)  # broadcasts (1,N,C)+(B,N,C)
         return queries, keys
 
 
@@ -496,22 +545,32 @@ class TwoWayTransformer(nn.Module):
     mlp_dim: int = 2048
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, image_embedding, image_pe, point_embedding):
-        """image_embedding/image_pe: (B, N_img, C); point_embedding: (B, N, C)."""
+    def setup(self):
+        self.layers = [TwoWayAttentionBlock(
+            self.embed_dim, self.num_heads, self.mlp_dim,
+            skip_first_layer_pe=(i == 0), dtype=self.dtype,
+            name=f"layers_{i}") for i in range(self.depth)]
+        self.final_attn_token_to_image = DownsampleAttention(
+            self.embed_dim, self.num_heads, 2, dtype=self.dtype,
+            name="final_attn_token_to_image")
+        self.norm_final_attn = nn.LayerNorm(dtype=self.dtype,
+                                            name="norm_final_attn")
+
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 update_keys=True):
+        """image_embedding/image_pe: (B or 1, N_img, C); point_embedding:
+        (B, N, C). Batch-1 image sides stay shared until the first
+        image<-token update materializes them (exact); with
+        update_keys=False they stay shared throughout (rank mode)."""
         queries = point_embedding
         keys = image_embedding
-        for i in range(self.depth):
-            queries, keys = TwoWayAttentionBlock(
-                self.embed_dim, self.num_heads, self.mlp_dim,
-                skip_first_layer_pe=(i == 0), dtype=self.dtype,
-                name=f"layers_{i}")(queries, keys, point_embedding, image_pe)
+        for layer in self.layers:
+            queries, keys = layer(queries, keys, point_embedding, image_pe,
+                                  update_keys=update_keys)
         q = queries + point_embedding
         k = keys + image_pe
-        attn = DownsampleAttention(self.embed_dim, self.num_heads, 2,
-                                   dtype=self.dtype,
-                                   name="final_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm_final_attn")(queries + attn)
+        attn = self.final_attn_token_to_image(q, k, keys)
+        queries = self.norm_final_attn(queries + attn)
         return queries, keys
 
 
@@ -547,6 +606,29 @@ class _ConvTParams(nn.Module):
         return k, b
 
 
+class _LN2dParams(nn.Module):
+    """LayerNorm2d-shaped params (weight/bias over dim) without applying
+    them — the fused mask-tail kernel consumes them raw; tree layout is
+    identical to LayerNorm2d for the checkpoint converter."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
+
+
+def block_masks_to_rowmajor(mb: jnp.ndarray) -> jnp.ndarray:
+    """(B, 16, K, N) block-order masks -> (B, K, 4g, 4g) row-major, where
+    N = g*g and block row/col indices are (4i+2p+r, 4j+2q+s)."""
+    B, _, K, N = mb.shape
+    g = int(round(N ** 0.5))
+    m = mb.reshape(B, 2, 2, 2, 2, K, g, g)      # b, p, q, r, s, k, i, j
+    m = m.transpose(0, 5, 6, 1, 3, 7, 2, 4)     # b, k, i, p, r, j, q, s
+    return m.reshape(B, K, 4 * g, 4 * g)
+
+
 class MaskDecoder(nn.Module):
     """Two-way transformer + hypernetwork mask head (reference mask_decoder.py).
 
@@ -558,6 +640,13 @@ class MaskDecoder(nn.Module):
     twoway_num_heads: int = 8
     twoway_mlp_dim: int = 2048
     block_layout: bool = False
+    # block_masks=True returns masks in (B, 16, K, H*W) block order (rows
+    # 4i+2p+r, cols 4j+2q+s) and routes the upscale tail through the fused
+    # Pallas kernel on TPU — the AMG pipeline consumes this layout natively
+    # (its resize matrices reshape for free). block_masks=False keeps the
+    # (B, K, 4H, 4W) row-major contract.
+    block_masks: bool = False
+    shared_l1: bool = True  # keep the image side batch-1 through layer 1
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -565,10 +654,22 @@ class MaskDecoder(nn.Module):
         return self.num_multimask_outputs + 1
 
     @nn.compact
-    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt):
+    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
+                 rank_only=False):
         """image_embeddings: (H, W, C) one image; image_pe: (H, W, C);
         sparse_prompt: (B, Np, C) per-prompt tokens; dense_prompt: (H, W, C).
-        Returns (masks (B, 4, 4H, 4W) logits, iou_pred (B, 4))."""
+        Returns (masks (B, 4, 4H, 4W) logits, iou_pred (B, 4)).
+
+        The image side enters the two-way transformer with batch 1 (all
+        prompts share image + dense no-mask embedding) and is only
+        materialized per-prompt by the first image<-token update — exact,
+        and removes the dominant per-prompt projections of layer 1.
+
+        rank_only=True drops the image<-token updates entirely: the image
+        side stays shared, so the upscale chain runs ONCE and each prompt's
+        masks are a single hypernetwork contraction. Approximate (tokens
+        never feed back into image features) — used only to PRE-RANK the
+        AMG prompt grid before exact scoring of the top slice."""
         C = self.transformer_dim
         H, W = image_embeddings.shape[:2]
         B = sparse_prompt.shape[0]
@@ -581,13 +682,16 @@ class MaskDecoder(nn.Module):
             axis=1)
 
         src = (image_embeddings + dense_prompt).reshape(1, H * W, C)
-        src = jnp.broadcast_to(src, (B, H * W, C))
-        pos = jnp.broadcast_to(image_pe.reshape(1, H * W, C), (B, H * W, C))
+        pos = image_pe.reshape(1, H * W, C)
+        if not (self.shared_l1 or rank_only):
+            src = jnp.broadcast_to(src, (B, H * W, C))
+            pos = jnp.broadcast_to(pos, (B, H * W, C))
 
         hs, src = TwoWayTransformer(
             depth=2, embed_dim=self.transformer_dim,
             num_heads=self.twoway_num_heads, mlp_dim=self.twoway_mlp_dim,
-            dtype=self.dtype, name="transformer")(src, pos, tokens)
+            dtype=self.dtype, name="transformer")(
+                src, pos, tokens, update_keys=not rank_only)
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1:1 + self.num_mask_tokens]
 
@@ -595,40 +699,70 @@ class MaskDecoder(nn.Module):
             [HyperMLP(C, C // 8, dtype=self.dtype, name=f"hyper_mlps_{i}")(
                 mask_tokens_out[:, i]) for i in range(self.num_mask_tokens)],
             axis=1)  # (B, 4, C//8)
+        Bs = src.shape[0]  # 1 in rank mode, B otherwise
         if self.block_layout:
             # The 2x ConvTranspose(2,2) chain as two plain GEMMs whose
             # activations stay in block layout (i, j, dy, dx, c) end to end
             # — XLA's gradient-conv lowering of ConvTranspose ran at ~40
-            # TF/s and dominated the 1024-prompt AMG decode. The only
-            # relayout is the final 4-channel mask tensor (cheap), giving
-            # row-major masks identical to the ConvTranspose path.
+            # TF/s and dominated the 1024-prompt AMG decode.
             k1, b1 = _ConvTParams(C, C // 4, name="upscale_conv1")()
             k2, b2 = _ConvTParams(C // 4, C // 8, name="upscale_conv2")()
+            lw, lb = _LN2dParams(C // 4, name="upscale_ln")()
             k1m = k1[::-1, ::-1].transpose(2, 0, 1, 3).reshape(C, 4 * (C // 4))
-            x = src @ k1m.astype(src.dtype)  # (B, H*W, 2*2*(C//4))
-            x = x.reshape(B, H, W, 2, 2, C // 4) + b1.astype(x.dtype)
-            x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
-            x = nn.gelu(x, approximate=False)
             k2m = k2[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
                 C // 4, 4 * (C // 8))
-            x = x.reshape(-1, C // 4) @ k2m.astype(x.dtype)
-            x = x.reshape(B, H, W, 2, 2, 2, 2, C // 8) + b2.astype(x.dtype)
-            x = nn.gelu(x, approximate=False)  # (b, i, j, p, q, r, s, c)
-            # pure contraction (clean batched GEMM), then one 4-channel
-            # transpose to the separable block-pixel order
-            m = jnp.einsum("bkc,bijpqrsc->bkijpqrs", hyper, x)
-            m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7)  # (b,k, i,p,r, j,q,s)
-            masks = m.reshape(B, self.num_mask_tokens, 4 * H, 4 * W)
+            z = src @ k1m.astype(src.dtype)  # (Bs, H*W, 2*2*(C//4)) raw
+            if self.block_masks:
+                # fused tail: +b1, LN2d, GELU, GEMM2, +b2, GELU, hypernet
+                # contraction — one VMEM pass on TPU (the XLA formulation
+                # streams the (B, HW, 16, C//8) GELU tensor through HBM)
+                from ..kernels.mask_tail import (
+                    fused_mask_tail, mask_tail_reference,
+                    mask_tail_upscale_only)
+                if (Bs == B and C == 256 and (H * W) % 512 == 0
+                        and jax.default_backend() == "tpu"):
+                    masks = fused_mask_tail(z, b1, lw, lb, k2m, b2, hyper)
+                elif Bs == 1 and B > 1:
+                    # rank mode: upscale once, contract per prompt
+                    x = mask_tail_upscale_only(z[0], b1, lw, lb, k2m, b2)
+                    m = jnp.einsum("nprc,bkc->bprkn",
+                                   x, hyper.astype(x.dtype))
+                    masks = m.reshape(B, 16, self.num_mask_tokens,
+                                      H * W).astype(z.dtype)
+                else:
+                    masks = mask_tail_reference(z, b1, lw, lb, k2m, b2,
+                                                hyper)
+            else:
+                x = z.reshape(Bs, H, W, 2, 2, C // 4) + b1.astype(z.dtype)
+                u = x.mean(axis=-1, keepdims=True)
+                s = ((x - u) ** 2).mean(axis=-1, keepdims=True)
+                x = ((x - u) / jnp.sqrt(s + 1e-6) * lw.astype(x.dtype)
+                     + lb.astype(x.dtype))
+                x = nn.gelu(x, approximate=False)
+                x = x.reshape(-1, C // 4) @ k2m.astype(x.dtype)
+                x = x.reshape(Bs, H, W, 2, 2, 2, 2, C // 8) + b2.astype(x.dtype)
+                x = nn.gelu(x, approximate=False)  # (b, i, j, p, q, r, s, c)
+                # pure contraction (clean batched GEMM), then one 4-channel
+                # transpose to the separable block-pixel order
+                if Bs == 1 and B > 1:
+                    m = jnp.einsum("bkc,ijpqrsc->bkijpqrs", hyper, x[0])
+                else:
+                    m = jnp.einsum("bkc,bijpqrsc->bkijpqrs", hyper, x)
+                m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7)  # (b,k, i,p,r, j,q,s)
+                masks = m.reshape(B, self.num_mask_tokens, 4 * H, 4 * W)
         else:
-            x = src.reshape(B, H, W, C)
+            x = src.reshape(Bs, H, W, C)
             x = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2),
                                  dtype=self.dtype, name="upscale_conv1")(x)
             x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2),
                                  dtype=self.dtype, name="upscale_conv2")(x)
-            x = nn.gelu(x, approximate=False)  # (B, 4H, 4W, C//8)
-            masks = jnp.einsum("bkc,bhwc->bkhw", hyper, x)
+            x = nn.gelu(x, approximate=False)  # (Bs, 4H, 4W, C//8)
+            if Bs == 1 and B > 1:
+                masks = jnp.einsum("bkc,hwc->bkhw", hyper, x[0])
+            else:
+                masks = jnp.einsum("bkc,bhwc->bkhw", hyper, x)
         iou_pred = HyperMLP(256, self.num_mask_tokens, dtype=self.dtype,
                             name="iou_prediction_head")(iou_token_out)
         return masks, iou_pred

@@ -47,7 +47,7 @@ class SAMPredictor:
             v["prompt_encoder"], pts, labels)
         masks, iou = self.seg.mask_decoder.apply(
             v["mask_decoder"], embedding, dense_pe, sparse, dense)
-        hi = self.seg._resize_logits(masks, Ry, Rx)
+        hi = self.seg._resize_logits_block(masks, Ry, Rx)
         return hi, iou
 
     def predict(self, point_coords: np.ndarray, point_labels: np.ndarray,

@@ -83,8 +83,12 @@ class SAMSegmentor:
             embed_dim=cfg.prompt_embed_dim,
             input_image_size=(cfg.img_size, cfg.img_size),
             image_embedding_size=(grid, grid), dtype=dtype)
+        # block-layout masks everywhere: the upscale tail runs as GEMMs in
+        # (p,q,r,s)-block pixel order (fused Pallas tail on TPU) and the
+        # postprocess matrices consume that order via a free reshape
         self.mask_decoder = MaskDecoder(transformer_dim=cfg.prompt_embed_dim,
-                                        block_layout=use_flash, dtype=dtype)
+                                        block_layout=True, block_masks=True,
+                                        dtype=dtype)
         if variables is None:
             variables = self._random_init(seed)
         elif variables == "eval_shape":
@@ -110,6 +114,8 @@ class SAMSegmentor:
         # fused single-dispatch per-frame program (encoder output -> proposals)
         self._propose = jax.jit(self._propose_impl,
                                 static_argnames=("hs", "ws", "h_in", "w_in"))
+        self._rank_all = jax.jit(self._rank_all_impl,
+                                 static_argnames=("h_in", "w_in"))
 
     def _random_init(self, seed: int):
         key = jax.random.PRNGKey(seed)
@@ -127,20 +133,35 @@ class SAMSegmentor:
 
     # -------------------------------------------------------------- internals
 
-    def _decode_chunk(self, v, embedding, dense_pe, pts):
+    def _decode_chunk(self, v, embedding, dense_pe, pts, rank_only=False):
         """pts: (chunk, 2) coords in the 1024-frame. Returns
-        (low-res masks (chunk, 3, 256, 256), iou (chunk, 3))."""
+        (block-layout masks (chunk, 16, 3, grid^2), iou (chunk, 3)) —
+        multimask slice (reference mask_decoder.py:101-107)."""
         labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
         sparse, dense = self.prompt_encoder.apply(
             v["prompt_encoder"], pts[:, None, :], labels)
         masks, iou = self.mask_decoder.apply(
-            v["mask_decoder"], embedding, dense_pe, sparse, dense)
-        return masks[:, 1:], iou[:, 1:]  # multimask slice (decoder :101-107)
+            v["mask_decoder"], embedding, dense_pe, sparse, dense,
+            rank_only=rank_only)
+        return masks[:, :, 1:, :], iou[:, 1:]
 
     def _resize_logits(self, masks, Ry, Rx):
         """(..., 256, 256) -> (..., Hs, Ws) via composed bilinear matrices."""
         out = jnp.einsum("ah,...hw->...aw", Ry, masks)
         return jnp.einsum("bw,...aw->...ab", Rx, out)
+
+    def _resize_logits_block(self, mb, Ry, Rx):
+        """Block-layout masks (B, 16, K, g*g) -> (B, K, Hs, Ws). The
+        low-res row index is 4i+2p+r (col: 4j+2q+s), so the composed
+        bilinear matrices just reshape their last axis to (g, 2, 2) — no
+        relayout of the mask tensor is ever materialized."""
+        B, _, K, N = mb.shape
+        g = int(round(N ** 0.5))
+        m = mb.reshape(B, 2, 2, 2, 2, K, g, g)   # b, p, q, r, s, k, i, j
+        RyB = Ry.reshape(Ry.shape[0], g, 2, 2)   # a, i, p, r
+        RxB = Rx.reshape(Rx.shape[0], g, 2, 2)   # c, j, q, s
+        t = jnp.einsum("aipr,bpqrskij->baqskj", RyB, m)
+        return jnp.einsum("cjqs,baqskj->bkac", RxB, t)
 
     def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
         """Score all prompts. Returns (iou (3P,), stability (3P,),
@@ -152,7 +173,7 @@ class SAMSegmentor:
 
         def one(pts):
             masks, iou = self._decode_chunk(v, embedding, dense_pe, pts)
-            hi = self._resize_logits(masks, Ry, Rx)  # (chunk, 3, Hs, Ws)
+            hi = self._resize_logits_block(masks, Ry, Rx)  # (chunk, 3, Hs, Ws)
             inter = jnp.sum(hi > cfg.stability_score_offset, axis=(-1, -2))
             union = jnp.sum(hi > -cfg.stability_score_offset, axis=(-1, -2))
             stability = inter / jnp.maximum(union, 1)
@@ -164,6 +185,40 @@ class SAMSegmentor:
         pts = points.reshape(P // chunk, chunk, 2)
         iou, stab, boxes = jax.lax.map(one, pts)
         return iou.reshape(-1), stab.reshape(-1), boxes.reshape(-1, 4)
+
+    def _rank_all_impl(self, v, embedding, points, h_in, w_in):
+        """Cheap pre-rank pass over ALL grid prompts: frozen-image decode
+        (MaskDecoder rank_only — the upscale chain runs once, each prompt is
+        a hypernetwork contraction) + stability counted on the ACTIVE slice
+        of the 256^2 low-res logits. Approximate by construction; used only
+        to pick which prompts get the exact decode. Returns
+        (iou (P, 3), stability (P, 3))."""
+        cfg = self.cfg
+        dense_pe = self.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        off = cfg.stability_score_offset
+        # active low-res region at block granularity: block row i covers
+        # input rows 16i..16i+15 (rank scores only — the exact pass counts
+        # at full resolution with reference semantics)
+        g = self.cfg.img_size // self.cfg.patch_size
+        hb = min(-(-((h_in + 3) // 4) // 4), g)
+        wb = min(-(-((w_in + 3) // 4) // 4), g)
+
+        def one(pts):
+            masks, iou = self._decode_chunk(v, embedding, dense_pe, pts,
+                                            rank_only=True)
+            m8 = masks.reshape(masks.shape[0], 2, 2, 2, 2, 3, g, g)
+            lo = m8[..., :hb, :wb]
+            inter = jnp.sum(lo > off, axis=(1, 2, 3, 4, 6, 7))
+            union = jnp.sum(lo > -off, axis=(1, 2, 3, 4, 6, 7))
+            return iou, inter / jnp.maximum(union, 1)
+
+        P = points.shape[0]
+        chunk = min(cfg.amg_rank_chunk, P)
+        if P % chunk:
+            chunk = P  # non-divisible grids: single chunk
+        iou, stab = jax.lax.map(one, points.reshape(P // chunk, chunk, 2))
+        return iou.reshape(P, -1), stab.reshape(P, -1)
 
     def _masks_for_impl(self, v, embedding, sel_points, sel_channel, Ry, Rx,
                         hs, ws, h_in, w_in):
@@ -177,8 +232,8 @@ class SAMSegmentor:
         def one(args):
             pts, ch = args
             masks, _ = self._decode_chunk(v, embedding, dense_pe, pts)
-            low = jnp.take_along_axis(masks, ch[:, None, None, None], axis=1)[:, 0]
-            hi = self._resize_logits(low, Ry, Rx)
+            low = jnp.take_along_axis(masks, ch[:, None, None, None], axis=2)
+            hi = self._resize_logits_block(low, Ry, Rx)[:, 0]
             return hi > 0.0
 
         pts = sel_points.reshape(K // chunk, chunk, 2)
@@ -193,6 +248,16 @@ class SAMSegmentor:
         Returns (masks (K, hs, ws) bool, boxes (K, 4), valid (K,), iou (K,)).
         """
         cfg = self.cfg
+        if cfg.amg_prerank and cfg.amg_prerank < points.shape[0]:
+            # cheap frozen-image pass ranks the full grid; only the top
+            # slice (8x the final capacity by default) gets exact scoring
+            iou_a, stab_a = self._rank_all_impl(v, embedding, points,
+                                                h_in, w_in)
+            valid_a = ((iou_a > cfg.pred_iou_thresh)
+                       & (stab_a >= cfg.stability_score_thresh))
+            key = jnp.max(iou_a + 10.0 * valid_a, axis=1)
+            _, top = jax.lax.top_k(key, cfg.amg_prerank)
+            points = points[top]
         iou, stab, boxes = self._score_all_impl(
             v, embedding, points, Ry, Rx, hs, ws, h_in, w_in)
         valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)

@@ -149,3 +149,55 @@ def test_adaptive_describe_matches_full_for_valid_prefix(rng):
                                np.asarray(sem["score"])[v_idx], atol=1e-5)
     # invalid slots can never be selected
     assert not np.asarray(out["valid"])[5:].any()
+
+
+def test_rank_mode_equals_exact_when_i2t_is_zero(rng):
+    """MaskDecoder rank_only drops exactly the image<-token updates: with
+    the i2t out-projections zeroed, rank mode == exact mode, and the
+    preranked propose pipeline == the full-grid propose pipeline."""
+    import jax
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_sam_cfg(), amg_prerank=8)
+    seg = SAMSegmentor(cfg, seed=0)
+    # zero the image<-token output projections in both two-way layers
+    v = jax.tree.map(lambda x: x, seg.vars)  # shallow-copyable pytree
+    import flax
+    flat = flax.traverse_util.flatten_dict(v["mask_decoder"]["params"])
+    for k in list(flat):
+        if "cross_attn_image_to_token" in k and k[-2] == "out_proj":
+            flat[k] = jnp.zeros_like(flat[k])
+    v = dict(v, mask_decoder={"params": flax.traverse_util.unflatten_dict(flat)})
+    seg.vars = v
+
+    emb = jnp.asarray(rng.rand(4, 4, 32).astype(np.float32))
+    dense_pe = seg.prompt_encoder.apply(v["prompt_encoder"], method="dense_pe")
+    dense = seg.prompt_encoder.apply(v["prompt_encoder"],
+                                     method="no_mask_dense")
+    pts = jnp.asarray(build_point_grid(4) * 64)
+    labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
+    sparse, _ = seg.prompt_encoder.apply(v["prompt_encoder"],
+                                         pts[:, None, :], labels)
+    m_exact, iou_exact = seg.mask_decoder.apply(
+        v["mask_decoder"], emb, dense_pe, sparse, dense)
+    m_rank, iou_rank = seg.mask_decoder.apply(
+        v["mask_decoder"], emb, dense_pe, sparse, dense, rank_only=True)
+    np.testing.assert_allclose(np.asarray(m_rank), np.asarray(m_exact),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou_rank), np.asarray(iou_exact),
+                               atol=1e-5)
+
+    # full pipeline: prerank(8 of 16) vs exact full grid — identical
+    # because the rank scores are now exact, so the true top-8 is kept
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    out_pre = seg.generate_masks(img)
+    seg_full = SAMSegmentor(dataclasses.replace(cfg, amg_prerank=0), seed=0)
+    seg_full.vars = v
+    out_full = seg_full.generate_masks(img)
+    kept_pre = np.asarray(out_pre["valid"])
+    kept_full = np.asarray(out_full["valid"])
+    # the survivors of the full path must all appear in the preranked path
+    # (compare by boxes: order within equal scores may differ)
+    b_pre = {tuple(np.round(b, 3)) for b in out_pre["boxes"][kept_pre]}
+    b_full = {tuple(np.round(b, 3)) for b in out_full["boxes"][kept_full]}
+    assert b_full <= b_pre or b_pre == b_full

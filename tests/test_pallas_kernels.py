@@ -143,3 +143,73 @@ def test_two_scale_ball_query_pallas_matches_xla(rng):
                                   jnp.asarray(xyz), jnp.asarray(new_xyz))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(w1))
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(w2))
+
+
+def test_fused_mask_tail_matches_reference():
+    """Pallas fused upscale tail (interpret mode) == XLA reference, and the
+    block->rowmajor helper inverts the block pixel order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sam6d_tpu.kernels.mask_tail import (fused_mask_tail,
+                                             mask_tail_reference)
+    from sam6d_tpu.models.sam import block_masks_to_rowmajor
+
+    rng = np.random.RandomState(0)
+    B, N, K = 2, 1024, 4
+    z = jnp.asarray(rng.randn(B, N, 256).astype(np.float32) * 0.5)
+    b1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    gam = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bet = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    k2m = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    hyper = jnp.asarray(rng.randn(B, K, 32).astype(np.float32) * 0.3)
+
+    want = mask_tail_reference(z, b1, gam, bet, k2m, b2, hyper)
+    got = fused_mask_tail(z, b1, gam, bet, k2m, b2, hyper, tile=512,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    rm = block_masks_to_rowmajor(want)
+    g = int(round(N ** 0.5))
+    assert rm.shape == (B, K, 4 * g, 4 * g)
+    # spot-check the index map: block (p,q,r,s) at position (i,j) lands at
+    # row 4i+2p+r, col 4j+2q+s
+    w8 = np.asarray(want).reshape(B, 2, 2, 2, 2, K, g, g)
+    for (p, q, r, s, i, j) in [(0, 0, 0, 0, 0, 0), (1, 0, 1, 1, 3, 5),
+                               (0, 1, 1, 0, 7, 2)]:
+        np.testing.assert_allclose(
+            np.asarray(rm)[:, :, 4 * i + 2 * p + r, 4 * j + 2 * q + s],
+            w8[:, p, q, r, s, :, i, j])
+
+
+def test_mask_decoder_block_masks_matches_rowmajor():
+    """MaskDecoder(block_masks=True) == row-major block path after the
+    layout inversion, in both exact and rank_only modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sam6d_tpu.models.sam import MaskDecoder, block_masks_to_rowmajor
+
+    rng = np.random.RandomState(1)
+    g, C = 8, 32
+    dec_rm = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                         twoway_mlp_dim=64, block_layout=True)
+    dec_bm = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                         twoway_mlp_dim=64, block_layout=True,
+                         block_masks=True)
+    emb = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(3, 2, C).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    v = dec_rm.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    for rank_only in (False, True):
+        want_m, want_iou = dec_rm.apply(v, emb, pe, sparse, dense,
+                                        rank_only=rank_only)
+        got_m, got_iou = dec_bm.apply(v, emb, pe, sparse, dense,
+                                      rank_only=rank_only)
+        np.testing.assert_allclose(
+            np.asarray(block_masks_to_rowmajor(got_m)),
+            np.asarray(want_m), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got_iou),
+                                   np.asarray(want_iou), atol=3e-5)

@@ -68,23 +68,50 @@ def test_mask_decoder_parity(rng):
 
 
 def test_skinny_attention_formulations_match_direct(rng):
-    """Block-diagonal head-merge attention == direct einsum attention at
-    the AMG decode's skinny shapes (12 tokens vs 4096 image positions)."""
+    """DownsampleAttention's block-diagonal skinny routes (small-q /
+    small-k with reassociated out_proj) and the shared-batch (Bk=1)
+    broadcast forms all match the dense einsum fallback."""
     import jax
     import jax.numpy as jnp
-    from sam6d_tpu.models.sam import _attention_small_q, _attention_small_k
+    from sam6d_tpu.models.sam import DownsampleAttention
 
-    B, H, hd = 2, 8, 16
-    for N, M, fn in [(12, 512, _attention_small_q),
-                     (512, 12, _attention_small_k)]:
-        q = jnp.asarray(rng.randn(B, N, H, hd).astype(np.float32) * 0.3)
-        k = jnp.asarray(rng.randn(B, M, H, hd).astype(np.float32) * 0.3)
-        v = jnp.asarray(rng.randn(B, M, H, hd).astype(np.float32))
-        a = jnp.einsum("bnhc,bmhc->bhnm", q, k)
-        a = jax.nn.softmax(a, axis=-1)
-        want = np.asarray(jnp.einsum("bhnm,bmhc->bnhc", a, v).reshape(B, N, H * hd))
-        got = np.asarray(fn(q, k, v, H, hd))
-        np.testing.assert_allclose(got, want, atol=2e-5)
+    C, heads = 64, 4
+    attn = DownsampleAttention(C, heads, downsample_rate=2)
+
+    def run(Nq, M, Bq, Bk):
+        q = jnp.asarray(rng.randn(Bq, Nq, C).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(Bk, M, C).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(Bk, M, C).astype(np.float32))
+        variables = attn.init(jax.random.PRNGKey(0), q, k, v)
+        got = attn.apply(variables, q, k, v)
+        B = max(Bq, Bk)
+        qf = jnp.broadcast_to(q, (B, Nq, C))
+        kf = jnp.broadcast_to(k, (B, M, C))
+        vf = jnp.broadcast_to(v, (B, M, C))
+        # dense reference: same module on mid-sized shapes routes dense,
+        # so compute the reference by slicing into mid-size? Instead use
+        # explicit per-head einsum attention with the same params.
+        p = variables["params"]
+
+        def proj(name, x):
+            return x @ p[name]["kernel"] + p[name]["bias"]
+        d = C // 2
+        hd = d // heads
+        qq = (proj("q_proj", qf) / np.sqrt(hd)).reshape(B, Nq, heads, hd)
+        kk = proj("k_proj", kf).reshape(B, M, heads, hd)
+        vv = proj("v_proj", vf).reshape(B, M, heads, hd)
+        a = jax.nn.softmax(jnp.einsum("bnhc,bmhc->bhnm", qq, kk), axis=-1)
+        o = jnp.einsum("bhnm,bmhc->bnhc", a, vv).reshape(B, Nq, d)
+        want = proj("out_proj", o)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    run(12, 512, 2, 2)    # small-q batched
+    run(12, 512, 2, 1)    # small-q shared image side
+    run(512, 12, 2, 2)    # small-k (reassociated out_proj)
+    run(512, 12, 1, 2)    # small-k with shared q side (layer-1 i2t)
+    run(64, 64, 2, 2)     # dense fallback
+    run(64, 64, 1, 2)     # dense fallback, shared q
 
 
 def test_mask_decoder_block_layout_matches_convtranspose(rng):
