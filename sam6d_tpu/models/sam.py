@@ -414,6 +414,19 @@ class DownsampleAttention(nn.Module):
         k, b = mod()
         return x.astype(self.dtype) @ k.astype(self.dtype) + b.astype(self.dtype)
 
+    def _apply_sum(self, mod, x, extra):
+        """proj(x + extra) with the add DISTRIBUTED through the projection:
+        x @ W + (extra @ W + b). When extra is batch-1 (the positional
+        encoding, shared across prompts) its projection is computed once and
+        the (B, N, C) sum `x + extra` is never materialized — the adds were
+        ~25% of the AMG decode chunk's HBM traffic. Exact (linearity)."""
+        if extra is None:
+            return self._apply(mod, x)
+        k, b = mod()
+        kd = k.astype(self.dtype)
+        return (x.astype(self.dtype) @ kd
+                + (extra.astype(self.dtype) @ kd + b.astype(self.dtype)))
+
     def _small_q(self, q, k, v):
         """q: (B, N, d) tiny N; k/v: (Bk in {1, B}, M, d) large M."""
         B, N, _ = q.shape
@@ -456,14 +469,31 @@ class DownsampleAttention(nn.Module):
         vbo = vb @ ko.astype(vb.dtype)  # (B, H*M, embed_dim): rank-first
         return jnp.einsum("bnk,bkc->bnc", p, vbo) + bo.astype(vb.dtype)
 
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, q_extra=None, k_extra=None):
         """q: (B, N, C); k/v: (Bk, M, C) with Bk in {1, B} (Bk=1 = shared
-        across the batch, projected once)."""
+        across the batch, projected once). q_extra/k_extra: optional
+        batch-1 additive terms (positional encodings) distributed through
+        the projections instead of materializing q+q_extra / k+k_extra."""
         H = self.num_heads
         hd = self.inner_dim // H
-        qp = self._apply(self.q_proj, q) / jnp.sqrt(hd).astype(self.dtype)
-        kp = self._apply(self.k_proj, k)
-        vp = self._apply(self.v_proj, v)
+        qp = self._apply_sum(self.q_proj, q, q_extra) \
+            / jnp.sqrt(hd).astype(self.dtype)
+        if k is v:
+            # one fused GEMM streams the (B, N, C) image tensor through
+            # HBM once for both projections (exact: concatenated weights)
+            wk, bk = self.k_proj()
+            wv, bv = self.v_proj()
+            d = self.inner_dim
+            W = jnp.concatenate([wk.astype(self.dtype),
+                                 wv.astype(self.dtype)], axis=1)
+            kv = k.astype(self.dtype) @ W
+            kp = kv[..., :d] + bk.astype(self.dtype)
+            if k_extra is not None:
+                kp = kp + k_extra.astype(self.dtype) @ wk.astype(self.dtype)
+            vp = kv[..., d:] + bv.astype(self.dtype)
+        else:
+            kp = self._apply_sum(self.k_proj, k, k_extra)
+            vp = self._apply(self.v_proj, v)
         B = max(qp.shape[0], kp.shape[0])
         N = qp.shape[1]
         M = kp.shape[1]
@@ -524,16 +554,16 @@ class TwoWayAttentionBlock(nn.Module):
         queries = self.norm1(queries)
 
         q = queries + query_pe
-        k = keys + key_pe
         queries = self.norm2(
-            queries + self.cross_attn_token_to_image(q, k, keys))
+            queries + self.cross_attn_token_to_image(
+                q, keys, keys, k_extra=key_pe))
         queries = self.norm3(queries + self.mlp(queries))
 
         if not update_keys:
             return queries, self.norm4(keys)
         q = queries + query_pe
-        k = keys + key_pe
-        attn = self.cross_attn_image_to_token(k, q, queries)
+        attn = self.cross_attn_image_to_token(keys, q, queries,
+                                              q_extra=key_pe)
         keys = self.norm4(keys + attn)  # broadcasts (1,N,C)+(B,N,C)
         return queries, keys
 
@@ -568,8 +598,8 @@ class TwoWayTransformer(nn.Module):
             queries, keys = layer(queries, keys, point_embedding, image_pe,
                                   update_keys=update_keys)
         q = queries + point_embedding
-        k = keys + image_pe
-        attn = self.final_attn_token_to_image(q, k, keys)
+        attn = self.final_attn_token_to_image(q, keys, keys,
+                                              k_extra=image_pe)
         queries = self.norm_final_attn(queries + attn)
         return queries, keys
 
@@ -620,12 +650,14 @@ class _LN2dParams(nn.Module):
 
 
 def block_masks_to_rowmajor(mb: jnp.ndarray) -> jnp.ndarray:
-    """(B, 16, K, N) block-order masks -> (B, K, 4g, 4g) row-major, where
-    N = g*g and block row/col indices are (4i+2p+r, 4j+2q+s)."""
-    B, _, K, N = mb.shape
-    g = int(round(N ** 0.5))
-    m = mb.reshape(B, 2, 2, 2, 2, K, g, g)      # b, p, q, r, s, k, i, j
-    m = m.transpose(0, 5, 6, 1, 3, 7, 2, 4)     # b, k, i, p, r, j, q, s
+    """(B, 4K, 4N) block-order masks (rows (k, rs), cols (n, pq)) ->
+    (B, K, 4g, 4g) row-major, where N = g*g and the low-res pixel of block
+    position (i, j) subcell (p, q, r, s) is (4i+2p+r, 4j+2q+s)."""
+    B, K4, N4 = mb.shape
+    K = K4 // 4
+    g = int(round((N4 // 4) ** 0.5))
+    m = mb.reshape(B, K, 2, 2, g, g, 2, 2)      # b, k, r, s, i, j, p, q
+    m = m.transpose(0, 1, 4, 6, 2, 5, 7, 3)     # b, k, i, p, r, j, q, s
     return m.reshape(B, K, 4 * g, 4 * g)
 
 
@@ -640,11 +672,12 @@ class MaskDecoder(nn.Module):
     twoway_num_heads: int = 8
     twoway_mlp_dim: int = 2048
     block_layout: bool = False
-    # block_masks=True returns masks in (B, 16, K, H*W) block order (rows
-    # 4i+2p+r, cols 4j+2q+s) and routes the upscale tail through the fused
-    # Pallas kernel on TPU — the AMG pipeline consumes this layout natively
-    # (its resize matrices reshape for free). block_masks=False keeps the
-    # (B, K, 4H, 4W) row-major contract.
+    # block_masks=True returns masks in (B, 4K, 4*H*W) block order — rows
+    # (k, rs), cols (n, pq); low-res pixel (4i+2p+r, 4j+2q+s) — every
+    # tensor in the upscale tail then has MXU/VPU-friendly minor dims and
+    # the AMG pipeline consumes the layout natively (its resize matrices
+    # reshape for free). block_masks=False keeps the (B, K, 4H, 4W)
+    # row-major contract.
     block_masks: bool = False
     shared_l1: bool = True  # keep the image side batch-1 through layer 1
     dtype: jnp.dtype = jnp.float32
@@ -713,25 +746,14 @@ class MaskDecoder(nn.Module):
                 C // 4, 4 * (C // 8))
             z = src @ k1m.astype(src.dtype)  # (Bs, H*W, 2*2*(C//4)) raw
             if self.block_masks:
-                # fused tail: +b1, LN2d, GELU, GEMM2, +b2, GELU, hypernet
-                # contraction — one VMEM pass on TPU (the XLA formulation
-                # streams the (B, HW, 16, C//8) GELU tensor through HBM)
-                from ..kernels.mask_tail import (
-                    fused_mask_tail, mask_tail_reference,
-                    mask_tail_upscale_only)
-                if (Bs == B and C == 256 and (H * W) % 512 == 0
-                        and jax.default_backend() == "tpu"):
-                    masks = fused_mask_tail(z, b1, lw, lb, k2m, b2, hyper)
-                elif Bs == 1 and B > 1:
+                from ..kernels.mask_tail import (mask_tail_block,
+                                                 mask_tail_block_shared)
+                if Bs == 1 and B > 1:
                     # rank mode: upscale once, contract per prompt
-                    x = mask_tail_upscale_only(z[0], b1, lw, lb, k2m, b2)
-                    m = jnp.einsum("nprc,bkc->bprkn",
-                                   x, hyper.astype(x.dtype))
-                    masks = m.reshape(B, 16, self.num_mask_tokens,
-                                      H * W).astype(z.dtype)
+                    masks = mask_tail_block_shared(z, b1, lw, lb, k2m, b2,
+                                                   hyper)
                 else:
-                    masks = mask_tail_reference(z, b1, lw, lb, k2m, b2,
-                                                hyper)
+                    masks = mask_tail_block(z, b1, lw, lb, k2m, b2, hyper)
             else:
                 x = z.reshape(Bs, H, W, 2, 2, C // 4) + b1.astype(z.dtype)
                 u = x.mean(axis=-1, keepdims=True)

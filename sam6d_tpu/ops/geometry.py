@@ -35,7 +35,11 @@ def pairwise_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 # sequential host-dispatched factorizations.
 # ---------------------------------------------------------------------------
 
-_JACOBI_SWEEPS = 8  # (p,q) cycles; 3x3 symmetric converges quadratically
+_JACOBI_SWEEPS = 5  # (p,q) cycles; 3x3 symmetric cyclic Jacobi reaches fp32
+                    # machine precision by sweep ~4 (quadratic convergence);
+                    # 5 keeps margin. Was 8 — the extra sweeps cost ~4 ms on
+                    # the 96k-hypothesis coarse-solver batch and change
+                    # nothing at fp32.
 
 
 def _jacobi_rotation(app, aqq, apq):

@@ -75,19 +75,34 @@ def sample_pts_feats(pts, feats, npoint: int, valid_mask=None):
     return gather_points(pts, idx), gather_points(feats, idx), idx
 
 
-def multinomial_from_weights(key: jax.Array, weights: jnp.ndarray, num: int):
+def multinomial_from_weights(key: jax.Array, weights: jnp.ndarray, num: int,
+                             n_buckets: int = 256):
     """Sample `num` indices per batch proportional to `weights` (B, N) via
     inverse-CDF (cumsum + searchsorted), the same scheme as the reference
     hypothesis sampler (model_utils.py:216-222). Returns (B, num) int32.
+
+    The search is two-level: a dense compare against the 256 bucket-top CDF
+    values picks the bucket, a second dense compare within the gathered
+    bucket finds the offset. Both levels are pure VPU compares/sums — 2x
+    faster than one fused sort at 16 x 18k queries, and bit-identical to
+    searchsorted(side='left') (count of cdf entries < u).
     """
+    N = weights.shape[-1]
+    B = weights.shape[0]
     cdf = jnp.cumsum(weights, axis=-1)
     cdf = cdf / (cdf[..., -1:] + 1e-8)
-    B = weights.shape[0]
     u = jax.random.uniform(key, (B, num), dtype=weights.dtype)
-    # method='sort': one fused sort instead of a sequential binary-search
-    # scan (~40 ms faster at 16x18k queries on v5e)
-    idx = jax.vmap(lambda c, r: jnp.searchsorted(c, r, method="sort"))(cdf, u)
-    return jnp.minimum(idx, weights.shape[-1] - 1).astype(jnp.int32)
+    stride = -(-N // n_buckets)
+    pad = stride * n_buckets - N
+    cdfp = jnp.pad(cdf, ((0, 0), (0, pad)), constant_values=2.0)
+    buckets = cdfp.reshape(B, n_buckets, stride)
+    coarse = buckets[:, :, -1]  # (B, n_buckets) bucket-top CDF values
+    bi = jnp.sum(coarse[:, None, :] < u[:, :, None], axis=-1)
+    bi = jnp.minimum(bi, n_buckets - 1)
+    seg = jnp.take_along_axis(buckets, bi[..., None], axis=1)  # (B,num,stride)
+    within = jnp.sum(seg < u[..., None], axis=-1)
+    idx = bi * stride + within
+    return jnp.minimum(idx, N - 1).astype(jnp.int32)
 
 
 def random_choice_fixed(key: jax.Array, n_valid: jnp.ndarray, capacity: int, num: int):

@@ -135,15 +135,16 @@ class SAMSegmentor:
 
     def _decode_chunk(self, v, embedding, dense_pe, pts, rank_only=False):
         """pts: (chunk, 2) coords in the 1024-frame. Returns
-        (block-layout masks (chunk, 16, 3, grid^2), iou (chunk, 3)) —
-        multimask slice (reference mask_decoder.py:101-107)."""
+        (block-layout masks (chunk, 3*4, 4*grid^2) — rows (k, rs), channel
+        0 dropped (multimask slice, reference mask_decoder.py:101-107) —
+        and iou (chunk, 3))."""
         labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
         sparse, dense = self.prompt_encoder.apply(
             v["prompt_encoder"], pts[:, None, :], labels)
         masks, iou = self.mask_decoder.apply(
             v["mask_decoder"], embedding, dense_pe, sparse, dense,
             rank_only=rank_only)
-        return masks[:, :, 1:, :], iou[:, 1:]
+        return masks[:, 4:, :], iou[:, 1:]
 
     def _resize_logits(self, masks, Ry, Rx):
         """(..., 256, 256) -> (..., Hs, Ws) via composed bilinear matrices."""
@@ -151,17 +152,21 @@ class SAMSegmentor:
         return jnp.einsum("bw,...aw->...ab", Rx, out)
 
     def _resize_logits_block(self, mb, Ry, Rx):
-        """Block-layout masks (B, 16, K, g*g) -> (B, K, Hs, Ws). The
+        """Block-layout masks (B, 4K, 4*g*g) -> (B, K, Hs, Ws). The
         low-res row index is 4i+2p+r (col: 4j+2q+s), so the composed
         bilinear matrices just reshape their last axis to (g, 2, 2) — no
         relayout of the mask tensor is ever materialized."""
-        B, _, K, N = mb.shape
-        g = int(round(N ** 0.5))
-        m = mb.reshape(B, 2, 2, 2, 2, K, g, g)   # b, p, q, r, s, k, i, j
-        RyB = Ry.reshape(Ry.shape[0], g, 2, 2)   # a, i, p, r
-        RxB = Rx.reshape(Rx.shape[0], g, 2, 2)   # c, j, q, s
-        t = jnp.einsum("aipr,bpqrskij->baqskj", RyB, m)
-        return jnp.einsum("cjqs,baqskj->bkac", RxB, t)
+        B, K4, N4 = mb.shape
+        K = K4 // 4
+        g = int(round((N4 // 4) ** 0.5))
+        m = mb.reshape(B, K, 2, 2, g, g, 2, 2)   # b, k, r, s, i, j, p, q
+        # matrices in the mask dtype: the fp32 promotion materialized the
+        # (chunk, 3, Hs, Ws) logits at 2x the bytes for no extra precision
+        # (the logits themselves are bf16 on TPU)
+        RyB = Ry.astype(mb.dtype).reshape(Ry.shape[0], g, 2, 2)  # a, i, p, r
+        RxB = Rx.astype(mb.dtype).reshape(Rx.shape[0], g, 2, 2)  # c, j, q, s
+        t = jnp.einsum("aipr,bkrsijpq->bkasjq", RyB, m)
+        return jnp.einsum("cjqs,bkasjq->bkac", RxB, t)
 
     def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
         """Score all prompts. Returns (iou (3P,), stability (3P,),
@@ -207,10 +212,10 @@ class SAMSegmentor:
         def one(pts):
             masks, iou = self._decode_chunk(v, embedding, dense_pe, pts,
                                             rank_only=True)
-            m8 = masks.reshape(masks.shape[0], 2, 2, 2, 2, 3, g, g)
-            lo = m8[..., :hb, :wb]
-            inter = jnp.sum(lo > off, axis=(1, 2, 3, 4, 6, 7))
-            union = jnp.sum(lo > -off, axis=(1, 2, 3, 4, 6, 7))
+            m8 = masks.reshape(masks.shape[0], 3, 2, 2, g, g, 2, 2)
+            lo = m8[:, :, :, :, :hb, :wb]      # (c, k, r, s, i<, j<, p, q)
+            inter = jnp.sum(lo > off, axis=(2, 3, 4, 5, 6, 7))
+            union = jnp.sum(lo > -off, axis=(2, 3, 4, 5, 6, 7))
             return iou, inter / jnp.maximum(union, 1)
 
         P = points.shape[0]
@@ -232,7 +237,9 @@ class SAMSegmentor:
         def one(args):
             pts, ch = args
             masks, _ = self._decode_chunk(v, embedding, dense_pe, pts)
-            low = jnp.take_along_axis(masks, ch[:, None, None, None], axis=2)
+            # select the 4 (rs) rows of the chosen channel: rows ch*4..+3
+            rows = ch[:, None] * 4 + jnp.arange(4)[None, :]
+            low = jnp.take_along_axis(masks, rows[:, :, None], axis=1)
             hi = self._resize_logits_block(low, Ry, Rx)[:, 0]
             return hi > 0.0
 

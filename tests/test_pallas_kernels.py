@@ -145,42 +145,46 @@ def test_two_scale_ball_query_pallas_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(w2))
 
 
-def test_fused_mask_tail_matches_reference():
-    """Pallas fused upscale tail (interpret mode) == XLA reference, and the
-    block->rowmajor helper inverts the block pixel order."""
+def test_mask_tail_block_matches_naive():
+    """Layout-clean block tail == naive per-pixel computation, and the
+    shared (rank-mode) variant == batched variant on broadcast input."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from sam6d_tpu.kernels.mask_tail import (fused_mask_tail,
-                                             mask_tail_reference)
-    from sam6d_tpu.models.sam import block_masks_to_rowmajor
+    from sam6d_tpu.kernels.mask_tail import (mask_tail_block,
+                                             mask_tail_block_shared,
+                                             _gelu_exact)
 
     rng = np.random.RandomState(0)
-    B, N, K = 2, 1024, 4
-    z = jnp.asarray(rng.randn(B, N, 256).astype(np.float32) * 0.5)
-    b1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
-    gam = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
-    bet = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
-    k2m = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.1)
-    b2 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-    hyper = jnp.asarray(rng.randn(B, K, 32).astype(np.float32) * 0.3)
+    B, N, K, C = 2, 64, 4, 32  # g=8, C4=8, C8=4
+    z = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 0.5)
+    b1 = jnp.asarray(rng.randn(C // 4).astype(np.float32) * 0.1)
+    gam = jnp.asarray(rng.rand(C // 4).astype(np.float32) + 0.5)
+    bet = jnp.asarray(rng.randn(C // 4).astype(np.float32) * 0.1)
+    k2m = jnp.asarray(rng.randn(C // 4, 4 * (C // 8)).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.randn(C // 8).astype(np.float32) * 0.1)
+    hyper = jnp.asarray(rng.randn(B, K, C // 8).astype(np.float32) * 0.3)
 
-    want = mask_tail_reference(z, b1, gam, bet, k2m, b2, hyper)
-    got = fused_mask_tail(z, b1, gam, bet, k2m, b2, hyper, tile=512,
-                          interpret=True)
+    got = mask_tail_block(z, b1, gam, bet, k2m, b2, hyper)
+    assert got.shape == (B, 4 * K, 4 * N)
+
+    # naive reference in (n, pq, rs, c) order
+    x = z.reshape(B, N, 4, C // 4) + b1
+    u = x.mean(-1, keepdims=True)
+    s = ((x - u) ** 2).mean(-1, keepdims=True)
+    x = _gelu_exact((x - u) / jnp.sqrt(s + 1e-6) * gam + bet)
+    y = jnp.einsum("bnpc,cd->bnpd", x, k2m).reshape(B, N, 4, 4, C // 8)
+    y = _gelu_exact(y + b2)
+    want = jnp.einsum("bnprc,bkc->bkrnp", y, hyper).reshape(B, 4 * K, 4 * N)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    rm = block_masks_to_rowmajor(want)
-    g = int(round(N ** 0.5))
-    assert rm.shape == (B, K, 4 * g, 4 * g)
-    # spot-check the index map: block (p,q,r,s) at position (i,j) lands at
-    # row 4i+2p+r, col 4j+2q+s
-    w8 = np.asarray(want).reshape(B, 2, 2, 2, 2, K, g, g)
-    for (p, q, r, s, i, j) in [(0, 0, 0, 0, 0, 0), (1, 0, 1, 1, 3, 5),
-                               (0, 1, 1, 0, 7, 2)]:
-        np.testing.assert_allclose(
-            np.asarray(rm)[:, :, 4 * i + 2 * p + r, 4 * j + 2 * q + s],
-            w8[:, p, q, r, s, :, i, j])
+    # shared variant == batched variant with identical src
+    z0 = z[:1]
+    got_sh = mask_tail_block_shared(z0, b1, gam, bet, k2m, b2, hyper)
+    want_b = mask_tail_block(jnp.broadcast_to(z0, z.shape), b1, gam, bet,
+                             k2m, b2, hyper)
+    np.testing.assert_allclose(np.asarray(got_sh), np.asarray(want_b),
+                               atol=2e-5)
 
 
 def test_mask_decoder_block_masks_matches_rowmajor():
