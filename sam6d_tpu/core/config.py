@@ -126,10 +126,13 @@ class SAMConfig:
     max_proposals: int = 512         # fixed capacity of surviving proposals
     # AMG pre-rank capacity: a cheap frozen-image decode pass ranks all
     # grid prompts, then only the top amg_prerank prompts get the exact
-    # (image<-token coupled) decode + scoring. 0 disables (exact decode of
-    # the full grid). Capacity-style approximation: only affects which
-    # prompts reach exact scoring, and keeps 8x the final proposal budget.
-    amg_prerank: int = 1024
+    # (image<-token coupled) decode + scoring. 0 (default) disables — the
+    # full grid decodes exactly. Measured on v5e, the full-grid program
+    # runs at the same wall time as the preranked one (XLA schedules the
+    # long-trip-count decode loop at ~47 us/prompt while mid-size loops
+    # hit a ~2x scheduling pathology), so the approximation buys nothing
+    # at the 32x32 operating point; the knob remains for larger grids.
+    amg_prerank: int = 0
     amg_rank_chunk: int = 1024       # prompts per chunk in the rank pass
 
 

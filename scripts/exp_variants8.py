@@ -66,7 +66,7 @@ def exp_encoder():
     w2 = jnp.asarray(rng.randn(32, 4 * D, D).astype(np.float32) * 0.02
                      ).astype(jnp.bfloat16)
 
-    def gemms(x0):
+    def gemms(x0, ws_):
         h = x0.reshape(grid * grid, D)
 
         def step(carry, w):
@@ -75,10 +75,11 @@ def exp_encoder():
             carry = carry + (q[:, :D] @ b)    # proj of the q slice (proxy)
             carry = carry + jnp.maximum(carry @ c, 0) @ d  # mlp
             return carry, None
-        h, _ = jax.lax.scan(step, h, (wq, wp, w1, w2))
+        h, _ = jax.lax.scan(step, h, ws_)
         return jnp.sum(h)
     gf = jax.jit(gemms)
-    report("enc.gemms_only32", timed(lambda i: gf(x + i * 1e-6)))
+    report("enc.gemms_only32",
+           timed(lambda i: gf(x + i * 1e-6, (wq, wp, w1, w2))))
 
     # windowed attention branch alone (one block's worth), x28
     qkvw = jnp.asarray(rng.randn(D, 3 * D).astype(np.float32) * 0.02
