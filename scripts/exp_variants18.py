@@ -57,6 +57,12 @@ def main():
         (ws, ws)))
     report("win28.flash_relpos", timed(lambda i: f(q + i * 1e-6, k, v)))
 
+    from sam6d_tpu.kernels.flash_attention import window_attention_relpos
+    f = x28(lambda a, b, c: window_attention_relpos(
+        a, b, c, rel_h.astype(jnp.bfloat16), rel_w.astype(jnp.bfloat16),
+        (ws, ws)))
+    report("win28.window_kernel", timed(lambda i: f(q + i * 1e-6, k, v)))
+
     f = x28(lambda a, b, c: fused_attention(a, b, c, hd ** -0.5))
     report("win28.flash_nobias", timed(lambda i: f(q + i * 1e-6, k, v)))
 
