@@ -534,7 +534,7 @@ class TwoWayAttentionBlock(nn.Module):
         self.mlp = MLPBlock(self.mlp_dim, self.embed_dim, act="relu",
                             dtype=self.dtype, name="mlp")
         self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
-        self.norm4 = nn.LayerNorm(dtype=self.dtype, name="norm4")
+        self.norm4 = _LNParams(self.embed_dim, name="norm4")
         self.cross_attn_image_to_token = DownsampleAttention(
             self.embed_dim, self.num_heads, 2, dtype=self.dtype,
             name="cross_attn_image_to_token")
@@ -560,12 +560,29 @@ class TwoWayAttentionBlock(nn.Module):
         queries = self.norm3(queries + self.mlp(queries))
 
         if not update_keys:
-            return queries, self.norm4(keys)
+            return queries, _apply_ln(self.norm4(), keys)
         q = queries + query_pe
         attn = self.cross_attn_image_to_token(keys, q, queries,
                                               q_extra=key_pe)
-        keys = self.norm4(keys + attn)  # broadcasts (1,N,C)+(B,N,C)
+        keys = _apply_ln(self.norm4(), keys + attn)  # (1,N,C)+(B,N,C) bcast
         return queries, keys
+
+
+def _heads_block_q(q, H, hd):
+    """(B, T, H*hd) -> block-diagonal (B, H*T, H*hd) (see DownsampleAttention)."""
+    B, T, _ = q.shape
+    eye = jnp.eye(H, dtype=q.dtype)
+    return jnp.einsum("bnhc,hg->bhngc", q.reshape(B, T, H, hd),
+                      eye).reshape(B, H * T, H * hd)
+
+
+def _heads_diag_out(res, H, hd):
+    """(B, H*T, H*hd) -> (B, T, H*hd) diagonal blocks."""
+    B, HT, _ = res.shape
+    T = HT // H
+    eye = jnp.eye(H, dtype=res.dtype)
+    out = jnp.einsum("bhngc,hg->bnhc", res.reshape(B, H, T, H, hd), eye)
+    return out.reshape(B, T, H * hd)
 
 
 class TwoWayTransformer(nn.Module):
@@ -585,6 +602,177 @@ class TwoWayTransformer(nn.Module):
             name="final_attn_token_to_image")
         self.norm_final_attn = nn.LayerNorm(dtype=self.dtype,
                                             name="norm_final_attn")
+
+    # ---------------- factored image side (exact, never materialized) ----
+    #
+    # For the AMG decode every prompt shares the image tensor until the
+    # first image<-token update, and each update is rank-(H*T+1). The
+    # image side is therefore carried as
+    #     keys[b] = a[b] ⊙ S  +  P[b] @ U[b]
+    # with S (N, C) shared, a (B, N) per-position scalars (from the
+    # LayerNorms), and P (B, N, R) / U (B, R, C) low-rank factors. Every
+    # projection, attention contraction, and LayerNorm statistic is exact
+    # in this representation; the (B, N, C) tensor appears only once, in
+    # the caller's upscale GEMM. This removes ~4 GB of HBM materialization
+    # per 128-prompt chunk (the decode is bandwidth-bound, not FLOP-bound).
+
+    def _proj_factored(self, dp, S, U, pos, scale=1.0):
+        """Projection of the factored keys (+ optional shared pos).
+        Returns (KS (N, d) [scaled by a at use], UK (B, R, d) or None,
+        KC (N or 1, d) constant part), all multiplied by `scale`."""
+        W, b = dp()
+        W = W.astype(self.dtype) * jnp.asarray(scale, self.dtype)
+        KS = S @ W
+        UK = None if U is None else U @ W
+        KC = b.astype(self.dtype)[None, :] * jnp.asarray(scale, self.dtype)
+        if pos is not None:
+            KC = pos[0].astype(self.dtype) @ W + KC
+        return KS, UK, KC
+
+    @staticmethod
+    def _ln_factored(gamma, beta, S, a, Pc, Uc, eps=1e-6):
+        """LayerNorm over the channel axis of x = a ⊙ S + Pc @ Uc,
+        returning the updated factored state (S', a', P', U'). Exact
+        (flax fast-variance formula): mean and E[x^2] are linear/quadratic
+        in the factors, and the per-position 1/sigma scaling commutes with
+        channel-wise operations."""
+        B, N, R = Pc.shape
+        C = S.shape[-1]
+        dt = S.dtype
+        mS = jnp.mean(S, axis=-1)                      # (N,)
+        qS = jnp.mean(S * S, axis=-1)                  # (N,)
+        mU = jnp.mean(Uc, axis=-1)                     # (B, R)
+        mu_d = jnp.einsum("bnr,br->bn", Pc, mU)
+        mu = (mS[None] if a is None else a * mS[None]) + mu_d
+        G2 = jnp.einsum("nc,brc->bnr", S, Uc)          # (B, N, R)
+        cross = jnp.sum(Pc * G2, axis=-1) / C          # E[S .* D]
+        gram = jnp.einsum("brc,bsc->brs", Uc, Uc) / C
+        d2 = jnp.sum(jnp.einsum("bnr,brs->bns", Pc, gram) * Pc, axis=-1)
+        aa = 1.0 if a is None else a * a
+        a1 = 1.0 if a is None else a
+        e2 = aa * qS[None] + 2.0 * a1 * cross + d2
+        var = e2 - mu * mu
+        inv = jax.lax.rsqrt(var + eps).astype(dt)
+        S2 = S * gamma
+        a2 = inv if a is None else a * inv
+        P2 = jnp.concatenate(
+            [Pc * inv[..., None], (-mu * inv)[..., None],
+             jnp.ones((B, N, 1), dt)], axis=-1)
+        U2 = jnp.concatenate(
+            [Uc * gamma, jnp.broadcast_to(gamma, (B, 1, C)),
+             jnp.broadcast_to(beta, (B, 1, C))], axis=1)
+        return S2, a2, P2, U2
+
+    def _t2i_factored(self, att, q_tokens, S, a, P, U, pos):
+        """Token->image cross-attention with factored keys; returns the
+        attention output on the token side (B, T, C). Exact."""
+        H = self.num_heads
+        d = att.inner_dim
+        hd = d // H
+        qp = att._apply(att.q_proj, q_tokens) / jnp.sqrt(hd).astype(self.dtype)
+        qb = _heads_block_q(qp, H, hd)                 # (B, HT, d)
+        B, HT, _ = qb.shape
+        T = HT // H
+        N = S.shape[0]
+        KS, UK, KC = self._proj_factored(att.k_proj, S, U, pos)
+        s = jnp.einsum("btd,nd->btn", qb, KS)
+        if a is not None:
+            s = s * a[:, None, :]
+        s = s + (qb @ KC.T if KC.shape[0] == N
+                 else jnp.einsum("btd,od->bto", qb, KC))
+        if P is not None:
+            s = s + jnp.einsum("btr,bnr->btn",
+                               jnp.einsum("btd,brd->btr", qb, UK), P)
+        p = jax.nn.softmax(s.reshape(B, H, T, N), axis=-1
+                           ).reshape(B, HT, N)
+        VS, UV, VC = self._proj_factored(att.v_proj, S, U, None)
+        pa = p if a is None else p * a[:, None, :]
+        res = jnp.einsum("btn,nd->btd", pa, VS)
+        if P is not None:
+            res = res + jnp.einsum("btr,brd->btd",
+                                   jnp.einsum("btn,bnr->btr", p, P), UV)
+        res = res + VC  # softmax rows sum to 1 per head: bias adds once
+        out = _heads_diag_out(res, H, hd)
+        return att._apply(att.out_proj, out)
+
+    def _i2t_update_factors(self, att, queries, point_embedding,
+                            S, a, P, U, pos):
+        """Image<-token cross-attention, returned as the concatenated
+        low-rank update factors (Pc, Uc) for delta = p3 @ (v_b W_o) + b_o.
+        Exact (out-proj reassociated; rank H*T + 1)."""
+        H = self.num_heads
+        d = att.inner_dim
+        hd = d // H
+        dt = self.dtype
+        N = S.shape[0]
+        B = queries.shape[0]
+        scale = float(hd) ** -0.5
+        QS, UQ, QC = self._proj_factored(att.q_proj, S, U, pos, scale=scale)
+        k_t = att._apply(att.k_proj, queries + point_embedding)  # (B, T, d)
+        T = k_t.shape[1]
+        eye = jnp.eye(H, dtype=dt)
+        kb = jnp.einsum("bnhc,hg->bgchn", k_t.reshape(B, T, H, hd),
+                        eye).reshape(B, d, H * T)
+        s = jnp.einsum("nd,bdk->bnk", QS, kb)
+        if a is not None:
+            s = s * a[..., None]
+        s = s + (jnp.einsum("nd,bdk->bnk", QC, kb) if QC.shape[0] == N
+                 else jnp.einsum("od,bdk->bok", QC, kb))
+        if P is not None:
+            s = s + jnp.einsum("bnr,brk->bnk", P,
+                               jnp.einsum("brd,bdk->brk", UQ, kb))
+        p3 = jax.nn.softmax(s.reshape(B, N, H, T), axis=-1
+                            ).reshape(B, N, H * T)
+        v_t = att._apply(att.v_proj, queries)
+        vb = jnp.einsum("bnhc,hg->bhngc", v_t.reshape(B, T, H, hd),
+                        eye).reshape(B, H * T, d)
+        Wo, bo = att.out_proj()
+        vbo = vb @ Wo.astype(dt)                        # (B, HT, C)
+        Pd = jnp.concatenate([p3, jnp.ones((B, N, 1), dt)], axis=-1)
+        Ud = jnp.concatenate(
+            [vbo, jnp.broadcast_to(bo.astype(dt), (B, 1, self.embed_dim))],
+            axis=1)
+        if P is None:
+            return Pd, Ud
+        return (jnp.concatenate([P, Pd], axis=-1),
+                jnp.concatenate([U, Ud], axis=1))
+
+    def factored(self, image_embedding, image_pe, point_embedding):
+        """Exact two-way pass with the image side kept factored
+        (a ⊙ S + P @ U). image_embedding/image_pe: (1, N, C);
+        point_embedding: (B, T, C). Returns
+        (queries (B, T, C), (S (N, C), a (B, N), P (B, N, R), U (B, R, C))).
+        """
+        dt = self.dtype
+        queries = point_embedding
+        S = image_embedding[0].astype(dt)
+        pos = image_pe
+        a = None
+        P = None
+        U = None
+        for lyr in self.layers:
+            if lyr.skip_first_layer_pe:
+                queries = lyr.self_attn(queries, queries, queries)
+            else:
+                q = queries + point_embedding
+                queries = queries + lyr.self_attn(q, q, queries)
+            queries = lyr.norm1(queries)
+            attn = self._t2i_factored(lyr.cross_attn_token_to_image,
+                                      queries + point_embedding,
+                                      S, a, P, U, pos)
+            queries = lyr.norm2(queries + attn)
+            queries = lyr.norm3(queries + lyr.mlp(queries))
+            Pc, Uc = self._i2t_update_factors(
+                lyr.cross_attn_image_to_token, queries, point_embedding,
+                S, a, P, U, pos)
+            gamma, beta = lyr.norm4()
+            S, a, P, U = self._ln_factored(gamma.astype(dt),
+                                           beta.astype(dt), S, a, Pc, Uc)
+        attn = self._t2i_factored(self.final_attn_token_to_image,
+                                  queries + point_embedding, S, a, P, U,
+                                  pos)
+        queries = self.norm_final_attn(queries + attn)
+        return queries, (S, a, P, U)
 
     def __call__(self, image_embedding, image_pe, point_embedding,
                  update_keys=True):
@@ -649,6 +837,29 @@ class _LN2dParams(nn.Module):
         return w, b
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias) without applying them —
+    the factored-keys pass needs them raw; tree layout matches
+    nn.LayerNorm for the checkpoint converter."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+def _apply_ln(params, x, eps=1e-6):
+    """Manual LayerNorm matching flax nn.LayerNorm (fast variance,
+    rsqrt) so the standard and factored paths share norm4's params."""
+    scale, bias = params
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mu) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 def block_masks_to_rowmajor(mb: jnp.ndarray) -> jnp.ndarray:
     """(B, 4K, 4N) block-order masks (rows (k, rs), cols (n, pq)) ->
     (B, K, 4g, 4g) row-major, where N = g*g and the low-res pixel of block
@@ -680,6 +891,10 @@ class MaskDecoder(nn.Module):
     # row-major contract.
     block_masks: bool = False
     shared_l1: bool = True  # keep the image side batch-1 through layer 1
+    # factored_keys=True (requires block_masks) carries the per-prompt
+    # image side as a ⊙ S + P @ U through the whole transformer (exact);
+    # the (B, N, C) tensor appears only in the single upscale GEMM.
+    factored_keys: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -720,11 +935,16 @@ class MaskDecoder(nn.Module):
             src = jnp.broadcast_to(src, (B, H * W, C))
             pos = jnp.broadcast_to(pos, (B, H * W, C))
 
-        hs, src = TwoWayTransformer(
+        tw = TwoWayTransformer(
             depth=2, embed_dim=self.transformer_dim,
             num_heads=self.twoway_num_heads, mlp_dim=self.twoway_mlp_dim,
-            dtype=self.dtype, name="transformer")(
-                src, pos, tokens, update_keys=not rank_only)
+            dtype=self.dtype, name="transformer")
+        kf = None
+        if self.factored_keys and self.block_masks and not rank_only:
+            hs, kf = tw.factored(src, pos, tokens)
+            src = None
+        else:
+            hs, src = tw(src, pos, tokens, update_keys=not rank_only)
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1:1 + self.num_mask_tokens]
 
@@ -732,7 +952,7 @@ class MaskDecoder(nn.Module):
             [HyperMLP(C, C // 8, dtype=self.dtype, name=f"hyper_mlps_{i}")(
                 mask_tokens_out[:, i]) for i in range(self.num_mask_tokens)],
             axis=1)  # (B, 4, C//8)
-        Bs = src.shape[0]  # 1 in rank mode, B otherwise
+        Bs = B if src is None else src.shape[0]  # 1 in rank mode
         if self.block_layout:
             # The 2x ConvTranspose(2,2) chain as two plain GEMMs whose
             # activations stay in block layout (i, j, dy, dx, c) end to end
@@ -744,7 +964,14 @@ class MaskDecoder(nn.Module):
             k1m = k1[::-1, ::-1].transpose(2, 0, 1, 3).reshape(C, 4 * (C // 4))
             k2m = k2[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
                 C // 4, 4 * (C // 8))
-            z = src @ k1m.astype(src.dtype)  # (Bs, H*W, 2*2*(C//4)) raw
+            if kf is not None:
+                # factored keys: the only (B, N, C) materialization
+                Sf, af, Pf, Uf = kf
+                k1d = k1m.astype(Sf.dtype)
+                z = (af[..., None] * (Sf @ k1d)[None]
+                     + jnp.einsum("bnr,brc->bnc", Pf, Uf @ k1d))
+            else:
+                z = src @ k1m.astype(src.dtype)  # (Bs, H*W, 4*(C//4)) raw
             if self.block_masks:
                 from ..kernels.mask_tail import (mask_tail_block,
                                                  mask_tail_block_shared)

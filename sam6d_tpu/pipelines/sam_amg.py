@@ -84,8 +84,11 @@ class SAMSegmentor:
             input_image_size=(cfg.img_size, cfg.img_size),
             image_embedding_size=(grid, grid), dtype=dtype)
         # block-layout masks everywhere: the upscale tail runs as GEMMs in
-        # (p,q,r,s)-block pixel order (fused Pallas tail on TPU) and the
-        # postprocess matrices consume that order via a free reshape
+        # (p,q,r,s)-block pixel order and the postprocess matrices consume
+        # that order via a free reshape. The factored image-side mode
+        # (MaskDecoder.factored_keys — exact, carries keys as a*S + P@U)
+        # measured 6.7 vs 6.1 ms/chunk on v5e: its extra mid-rank einsums
+        # cost more than the saved materializations, so it stays off.
         self.mask_decoder = MaskDecoder(transformer_dim=cfg.prompt_embed_dim,
                                         block_layout=True, block_masks=True,
                                         dtype=dtype)

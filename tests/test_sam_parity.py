@@ -136,3 +136,30 @@ def test_mask_decoder_block_layout_matches_convtranspose(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_iou), np.asarray(want_iou),
                                atol=2e-5)
+
+
+def test_factored_keys_matches_standard(rng):
+    """The factored image-side transformer (a*S + P@U carried through both
+    layers + final attention) == the standard materialized path, exactly."""
+    import jax
+    import jax.numpy as jnp
+    from sam6d_tpu.models.sam import MaskDecoder
+
+    g, C = 8, 32
+    dec_std = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                          twoway_mlp_dim=64, block_layout=True,
+                          block_masks=True)
+    dec_fac = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                          twoway_mlp_dim=64, block_layout=True,
+                          block_masks=True, factored_keys=True)
+    emb = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(5, 2, C).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    v = dec_std.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    want_m, want_iou = dec_std.apply(v, emb, pe, sparse, dense)
+    got_m, got_iou = dec_fac.apply(v, emb, pe, sparse, dense)
+    np.testing.assert_allclose(np.asarray(got_iou), np.asarray(want_iou),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=1e-4)
