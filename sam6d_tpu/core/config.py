@@ -134,6 +134,13 @@ class SAMConfig:
     # at the 32x32 operating point; the knob remains for larger grids.
     amg_prerank: int = 0
     amg_rank_chunk: int = 1024       # prompts per chunk in the rank pass
+    # NMS truncation: greedy NMS processes candidates in score order and a
+    # candidate's keep decision depends only on HIGHER-scored candidates,
+    # so running it on the top-T score prefix reproduces the full run's
+    # decisions for that prefix exactly; only candidates ranked > T can no
+    # longer be selected (irrelevant at max_proposals << T). Caps the
+    # sequential NMS loop and the (T, T) IoU matrix. 0 = no truncation.
+    amg_nms_topk: int = 3072
 
 
 @dataclass(frozen=True)

@@ -271,14 +271,26 @@ class SAMSegmentor:
         iou, stab, boxes = self._score_all_impl(
             v, embedding, points, Ry, Rx, hs, ws, h_in, w_in)
         valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
-        iou_mat = box_iou(boxes, boxes)
-        same = jnp.ones((iou.shape[0], iou.shape[0]), bool)
-        keep = nms_masked(iou_mat, iou, valid, same, cfg.box_nms_thresh)
+        n_cand = iou.shape[0]
+        T = min(cfg.amg_nms_topk or n_cand, n_cand)
+        if T < n_cand:
+            # exact prefix truncation: greedy NMS keep decisions depend
+            # only on higher-scored candidates, so NMS over the top-T
+            # score prefix equals the full run restricted to that prefix
+            _, top = jax.lax.top_k(jnp.where(valid, iou, -jnp.inf), T)
+            iou_t, valid_t, boxes_t = iou[top], valid[top], boxes[top]
+        else:
+            top = jnp.arange(n_cand)
+            iou_t, valid_t, boxes_t = iou, valid, boxes
+        iou_mat = box_iou(boxes_t, boxes_t)
+        same = jnp.ones((T, T), bool)
+        keep = nms_masked(iou_mat, iou_t, valid_t, same, cfg.box_nms_thresh)
 
         K = cfg.max_proposals
-        score = jnp.where(keep, iou, -jnp.inf)
-        order = jnp.argsort(-score)[:K]
-        sel_valid = keep[order]
+        score = jnp.where(keep, iou_t, -jnp.inf)
+        order_t = jnp.argsort(-score)[:K]
+        order = top[order_t]
+        sel_valid = keep[order_t]
         sel_points = points[order // 3]
         sel_channel = (order % 3).astype(jnp.int32)
         masks = self._masks_for_impl(v, embedding, sel_points, sel_channel,

@@ -201,3 +201,33 @@ def test_rank_mode_equals_exact_when_i2t_is_zero(rng):
     b_pre = {tuple(np.round(b, 3)) for b in out_pre["boxes"][kept_pre]}
     b_full = {tuple(np.round(b, 3)) for b in out_full["boxes"][kept_full]}
     assert b_full <= b_pre or b_pre == b_full
+
+
+def test_nms_topk_truncation_matches_full(rng):
+    """Greedy-NMS prefix truncation: keep decisions only depend on
+    higher-scored candidates, so top-T NMS == full NMS for the selected
+    top-K (fixed seed; ample kept candidates inside the prefix)."""
+    import dataclasses
+
+    base = tiny_sam_cfg()
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    seg_full = SAMSegmentor(dataclasses.replace(base, amg_nms_topk=0),
+                            seed=0)
+    out_full = seg_full.generate_masks(img)
+    seg_trunc = SAMSegmentor(dataclasses.replace(base, amg_nms_topk=32),
+                             seed=0)
+    seg_trunc.vars = seg_full.vars
+    out_trunc = seg_trunc.generate_masks(img)
+    np.testing.assert_array_equal(out_full["valid"], out_trunc["valid"])
+    # equal-scored candidates may reorder between the two sorts; compare
+    # the kept detections as a set (boxes + scores, lexicographically)
+    kf = out_full["valid"]
+    kt = out_trunc["valid"]
+
+    def canon(out, keep):
+        rows = np.concatenate(
+            [out["boxes"][keep], out["iou_preds"][keep][:, None]], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_allclose(canon(out_full, kf), canon(out_trunc, kt),
+                               atol=1e-5)
