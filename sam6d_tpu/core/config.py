@@ -122,6 +122,14 @@ class SAMConfig:
     # :323-372); 0 disables — the reference operating point
     # (min_mask_region_area: 0) never runs it, but it ships it
     min_mask_region_area: int = 0
+    # crop cascade (reference automatic_mask_generator.py:196-264): layer i
+    # adds (2^i)^2 overlapping crops, each run through the full AMG with a
+    # per-layer point grid, merged by cross-crop NMS preferring smaller
+    # crops. 0 (the reference operating point) = single full-image crop.
+    crop_n_layers: int = 0
+    crop_overlap_ratio: float = 512 / 1500
+    crop_n_points_downscale_factor: int = 1
+    crop_nms_thresh: float = 0.7
     segmentor_width_size: int = 640  # pre-resize width (model/sam.py:107-119)
     max_proposals: int = 512         # fixed capacity of surviving proposals
     # AMG pre-rank capacity: a cheap frozen-image decode pass ranks all

@@ -268,8 +268,14 @@ class SAMSegmentor:
             key = jnp.max(iou_a + 10.0 * valid_a, axis=1)
             _, top = jax.lax.top_k(key, cfg.amg_prerank)
             points = points[top]
+        P = points.shape[0]
+        pad = (-P) % cfg.points_per_batch
+        pts_pad = points if pad == 0 else jnp.concatenate(
+            [points, jnp.broadcast_to(points[:1], (pad, 2))])
         iou, stab, boxes = self._score_all_impl(
-            v, embedding, points, Ry, Rx, hs, ws, h_in, w_in)
+            v, embedding, pts_pad, Ry, Rx, hs, ws, h_in, w_in)
+        iou, stab, boxes = iou[:3 * P], stab[:3 * P], boxes[:3 * P]
+        points = pts_pad  # order // 3 indexing stays valid
         valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
         n_cand = iou.shape[0]
         T = min(cfg.amg_nms_topk or n_cand, n_cand)
@@ -289,8 +295,15 @@ class SAMSegmentor:
         K = cfg.max_proposals
         score = jnp.where(keep, iou_t, -jnp.inf)
         order_t = jnp.argsort(-score)[:K]
-        order = top[order_t]
         sel_valid = keep[order_t]
+        if order_t.shape[0] < K:
+            # fewer candidates than capacity (coarse crop-cascade grids):
+            # pad with candidate 0 marked invalid
+            padn = K - order_t.shape[0]
+            order_t = jnp.concatenate(
+                [order_t, jnp.zeros((padn,), order_t.dtype)])
+            sel_valid = jnp.concatenate([sel_valid, jnp.zeros((padn,), bool)])
+        order = top[order_t]
         sel_points = points[order // 3]
         sel_channel = (order % 3).astype(jnp.int32)
         masks = self._masks_for_impl(v, embedding, sel_points, sel_channel,
@@ -318,27 +331,30 @@ class SAMSegmentor:
         canvas[:h_in, :w_in] = x
         return canvas, (H0, W0), (hs, ws), (h_in, w_in)
 
-    def frame_constants(self, hs, ws, h_in, w_in):
+    def frame_constants(self, hs, ws, h_in, w_in, grid01=None):
         """Per-geometry constants (cached by shape): composed postprocess
-        matrices + prompt coordinates in the encoder frame."""
+        matrices + prompt coordinates in the encoder frame. `grid01`
+        overrides the [0,1]^2 prompt grid (crop-cascade layers use coarser
+        grids)."""
         cfg = self.cfg
         low = cfg.img_size // 4
         R1y = bilinear_matrix(cfg.img_size, low)[:h_in]
         R1x = bilinear_matrix(cfg.img_size, low)[:w_in]
         Ry = jnp.asarray(bilinear_matrix(hs, h_in) @ R1y)
         Rx = jnp.asarray(bilinear_matrix(ws, w_in) @ R1x)
-        pts_img = self.points * np.array([ws, hs], np.float32)
+        grid = self.points if grid01 is None else grid01
+        pts_img = grid * np.array([ws, hs], np.float32)
         scale = np.array([w_in / ws, h_in / hs], np.float32)
         pts_in = jnp.asarray(pts_img * scale)
         return Ry, Rx, pts_in
 
-    def generate_masks_device(self, image: np.ndarray):
+    def generate_masks_device(self, image: np.ndarray, grid01=None):
         """Device-resident AMG: two dispatches (encoder + fused tail), no
         host round-trips. Returns device arrays
         (masks (K, hs, ws) bool, boxes (K, 4) segmentor-res, valid, iou)
         plus the frame geometry."""
         canvas, (H0, W0), (hs, ws), (h_in, w_in) = self.preprocess_frame(image)
-        Ry, Rx, pts_in = self.frame_constants(hs, ws, h_in, w_in)
+        Ry, Rx, pts_in = self.frame_constants(hs, ws, h_in, w_in, grid01)
         embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
         masks, boxes, valid, iou = self._propose(
             self.vars, embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in,
@@ -346,13 +362,64 @@ class SAMSegmentor:
         return dict(masks=masks, boxes=boxes, valid=valid, iou_preds=iou,
                     orig_size=(H0, W0), seg_size=(hs, ws))
 
-    def generate_masks(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+    def generate_masks_cropped(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """Crop-cascade AMG (reference automatic_mask_generator.py:196-264,
+        off at the reference operating point crop_n_layers=0): the full
+        image plus (2^i)^2 overlapping crops per layer each run the device
+        AMG with a per-layer point grid; detections are uncropped and
+        merged by cross-crop NMS preferring smaller crops
+        (scores = 1/crop_area), then capped at max_proposals."""
+        cfg = self.cfg
+        H0, W0 = image.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (H0, W0), cfg.crop_n_layers, cfg.crop_overlap_ratio)
+        masks_l, boxes_l, iou_l, areas_l = [], [], [], []
+        for cbox, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = cbox
+            n = max(1, int(cfg.points_per_side
+                           // (cfg.crop_n_points_downscale_factor ** layer)))
+            # always pass an explicit grid: grid01=None would re-enter the
+            # crop dispatch in generate_masks
+            out = self.generate_masks(image[y0:y1, x0:x1],
+                                      grid01=build_point_grid(n))
+            keep = np.where(out["valid"])[0]
+            for i in keep:
+                canvas = np.zeros((H0, W0), np.float32)
+                canvas[y0:y1, x0:x1] = out["masks"][i]
+                masks_l.append(canvas)
+                boxes_l.append(out["boxes"][i]
+                               + np.array([x0, y0, x0, y0], np.float32))
+                iou_l.append(out["iou_preds"][i])
+                areas_l.append(float((x1 - x0) * (y1 - y0)))
+        K = cfg.max_proposals
+        res = dict(masks=np.zeros((K, H0, W0), np.float32),
+                   boxes=np.zeros((K, 4), np.float32),
+                   valid=np.zeros((K,), bool),
+                   iou_preds=np.zeros((K,), np.float32))
+        if masks_l:
+            boxes_a = np.stack(boxes_l)
+            keep = _host_greedy_nms(boxes_a,
+                                    1.0 / np.asarray(areas_l, np.float32),
+                                    cfg.crop_nms_thresh)
+            # fixed capacity: top-K survivors by predicted IoU
+            keep = sorted(keep, key=lambda i: -iou_l[i])[:K]
+            for slot, i in enumerate(keep):
+                res["masks"][slot] = masks_l[i]
+                res["boxes"][slot] = boxes_a[i]
+                res["valid"][slot] = True
+                res["iou_preds"][slot] = iou_l[i]
+        return res
+
+    def generate_masks(self, image: np.ndarray,
+                       grid01=None) -> Dict[str, np.ndarray]:
         """image: (H0, W0, 3) uint8 RGB. Returns dict(masks (K, H0, W0)
         float, boxes (K, 4) xyxy in original coords, valid (K,) bool,
         iou_preds (K,)) with K = cfg.max_proposals. Masks are bilinearly
         resized to the original resolution (float coverage, reference
         postprocess_resize model/sam.py:85-100)."""
-        dev = self.generate_masks_device(image)
+        if self.cfg.crop_n_layers > 0 and grid01 is None:
+            return self.generate_masks_cropped(image)
+        dev = self.generate_masks_device(image, grid01)
         H0, W0 = dev["orig_size"]
         hs, ws = dev["seg_size"]
         masks = dev["masks"]
@@ -380,3 +447,55 @@ class SAMSegmentor:
         return dict(masks=masks_out, boxes=boxes_out.astype(np.float32),
                     valid=np.asarray(dev["valid"]),
                     iou_preds=np.asarray(dev["iou_preds"]))
+
+
+def generate_crop_boxes(im_size, n_layers: int, overlap_ratio: float):
+    """Crop boxes per cascade layer: layer i has (2^i)^2 overlapping crops
+    (reference segment_anything/utils/amg.py:200-234). Returns
+    (crop_boxes xyxy, layer_idxs)."""
+    import math
+
+    crop_boxes, layer_idxs = [], []
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes.append([0, 0, im_w, im_h])
+    layer_idxs.append(0)
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_per_side))
+        crop_w = crop_len(im_w, n_per_side, overlap)
+        crop_h = crop_len(im_h, n_per_side, overlap)
+        x0s = [int((crop_w - overlap) * i) for i in range(n_per_side)]
+        y0s = [int((crop_h - overlap) * i) for i in range(n_per_side)]
+        for x0 in x0s:
+            for y0 in y0s:
+                crop_boxes.append([x0, y0, min(x0 + crop_w, im_w),
+                                   min(y0 + crop_h, im_h)])
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def _host_greedy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float):
+    """Plain greedy box NMS on host (small candidate counts: the
+    cross-crop merge). Returns indices kept, score-descending."""
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            b1, b2 = boxes[i], boxes[j]
+            xx0 = max(b1[0], b2[0]); yy0 = max(b1[1], b2[1])
+            xx1 = min(b1[2], b2[2]); yy1 = min(b1[3], b2[3])
+            inter = max(0.0, xx1 - xx0) * max(0.0, yy1 - yy0)
+            a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+            if inter / max(a1 + a2 - inter, 1e-9) > thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return keep

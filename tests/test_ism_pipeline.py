@@ -231,3 +231,34 @@ def test_nms_topk_truncation_matches_full(rng):
 
     np.testing.assert_allclose(canon(out_full, kf), canon(out_trunc, kt),
                                atol=1e-5)
+
+
+def test_crop_cascade_amg(rng):
+    """crop_n_layers=1 runs the full image + 4 overlapping crops with a
+    coarser per-layer grid and merges by cross-crop NMS (reference
+    automatic_mask_generator.py:196-264). The full-image layer's
+    detections must be representable in the merged set."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_sam_cfg(), crop_n_layers=1,
+                              crop_n_points_downscale_factor=2,
+                              max_proposals=16)
+    seg = SAMSegmentor(cfg, seed=0)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    out = seg.generate_masks(img)
+    K = cfg.max_proposals
+    assert out["masks"].shape == (K, 48, 64)
+    assert out["boxes"].shape == (K, 4)
+    nv = int(out["valid"].sum())
+    assert nv > 0
+    # boxes inside the image, masks nonzero only for valid slots
+    b = out["boxes"][out["valid"]]
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 64).all()
+    assert (b[:, 1] >= 0).all() and (b[:, 3] <= 48).all()
+    assert np.abs(out["masks"][~out["valid"]]).sum() == 0
+
+    # crop boxes themselves follow the reference layout
+    from sam6d_tpu.pipelines.sam_amg import generate_crop_boxes
+    boxes, layers = generate_crop_boxes((48, 64), 1, 512 / 1500)
+    assert boxes[0] == [0, 0, 64, 48] and layers[0] == 0
+    assert len(boxes) == 5 and layers[1:] == [1, 1, 1, 1]
