@@ -223,6 +223,99 @@ class PEMPipeline:
             ))
         return results, kept
 
+    def run_frame_multi(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        K: np.ndarray,
+        depth_scale: float,
+        detections: List[Dict],
+        model_points_all: jnp.ndarray,
+        dense_po_all: jnp.ndarray,
+        dense_fo_all: jnp.ndarray,
+        pe_o_all: jnp.ndarray = None,
+        det_score_thresh: float = 0.2,
+        seed: int = 1,
+    ):
+        """Multi-object frame: each detection carries an `object_id` index
+        into the stacked per-object template arrays
+        (model_points_all (O, M, 3), dense_po_all (O, N, 3),
+        dense_fo_all (O, N, C), pe_o_all (O, N, Ch)); the per-instance
+        templates are gathered ON DEVICE by object index, so one batched
+        PEM dispatch serves a mixed-object frame (the streaming serving
+        path — BASELINE config 5; the reference runs one object at a time,
+        run_inference_custom.py)."""
+        c = self.cfg
+        rng = np.random.RandomState(seed)
+        whole_pts = np.asarray(depth_to_pointcloud(
+            jnp.asarray(depth.astype(np.float32) * depth_scale / 1000.0),
+            jnp.asarray(K.astype(np.float32))))
+        radii = np.linalg.norm(np.asarray(model_points_all), axis=2).max(1)
+
+        insts, kept = [], []
+        for det in detections:
+            if det["score"] <= det_score_thresh:
+                continue
+            oid = int(det["object_id"])
+            mask = rle_decode_coco(det["segmentation"])
+            mask = np.logical_and(mask > 0, depth > 0)
+            inst = prepare_instance(rgb, whole_pts, mask, float(radii[oid]),
+                                    c.img_size, c.n_sample_observed_point,
+                                    rng, rgb_mask_flag=c.rgb_mask_flag)
+            if inst is None:
+                continue
+            insts.append(inst)
+            kept.append(det)
+        if not insts:
+            return [], []
+
+        n = len(insts)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        B = _bucket(n, multiple=n_dev)
+        pad = B - n
+
+        def stack(key_, dtype=np.float32):
+            arr = np.stack([i[key_] for i in insts]).astype(dtype)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+            return jnp.asarray(arr)
+
+        oidx = np.array([int(d["object_id"]) for d in kept], np.int32)
+        if pad:
+            oidx = np.concatenate([oidx, np.repeat(oidx[-1:], pad)])
+        oidx = jnp.asarray(oidx)
+        inputs = dict(
+            rgb=stack("rgb"),
+            rgb_choose=stack("rgb_choose", np.int32),
+            pts=stack("pts"),
+            model=jnp.take(model_points_all, oidx, axis=0),
+            dense_po=jnp.take(dense_po_all, oidx, axis=0),
+            dense_fo=jnp.take(dense_fo_all, oidx, axis=0),
+        )
+        if pe_o_all is not None:
+            inputs["pe_o"] = jnp.take(pe_o_all, oidx, axis=0)
+        if self._batch_sharding is not None:
+            inputs = {k: jax.device_put(x, self._batch_sharding)
+                      for k, x in inputs.items()}
+        out = self._infer_jit(self.variables, inputs, jax.random.PRNGKey(seed))
+        pred_R = np.asarray(out["pred_R"])[:n]
+        pred_t = np.asarray(out["pred_t"])[:n]
+        score = np.asarray(out["pred_pose_score"])[:n]
+        results = []
+        for i, det in enumerate(kept):
+            results.append(dict(
+                scene_id=det.get("scene_id", 0),
+                image_id=det.get("image_id", 0),
+                object_id=int(det["object_id"]),
+                category_id=det.get("category_id", 1),
+                bbox=det.get("bbox"),
+                segmentation=det.get("segmentation"),
+                score=float(score[i] * det["score"]),
+                R=pred_R[i].tolist(),
+                t=(pred_t[i] * 1000.0).tolist(),
+            ))
+        return results, kept
+
 
 def run_demo_pem(
     cfg: PEMConfig,

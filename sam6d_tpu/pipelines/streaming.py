@@ -1,0 +1,124 @@
+"""Multi-object streaming serving: N CAD models x a continuous RGB-D feed.
+
+BASELINE config 5. The reference pipeline processes one object per run
+(`run_inference_custom.py` takes a single --cad_path); production serving
+wants every onboarded object matched and posed per frame. Here:
+
+- onboarding stacks every object's ISM template descriptors
+  (`ISMPipeline.set_reference_data` — the scoring program is natively
+  multi-object, reference detector.set_reference_objects) and the PEM
+  template features/positional encodings into (O, ...) arrays;
+- per frame: one AMG pass, one fused multi-object ISM scoring dispatch
+  (argmax over objects + per-object NMS), then ONE batched PEM dispatch
+  with per-detection templates gathered on device by object index
+  (`PEMPipeline.run_frame_multi`).
+
+Frame cost is therefore independent of the number of onboarded objects
+everywhere except the (O-indexed) score matrix and the template gathers.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ism import ISMPipeline
+from .pem import PEMPipeline
+from ..ops.masks import rle_encode_coco
+
+
+class MultiObjectStream:
+    """Onboard-once, stream-frames serving driver."""
+
+    def __init__(self, ism: ISMPipeline, pem: PEMPipeline,
+                 det_score_thresh: float = 0.2):
+        self.ism = ism
+        self.pem = pem
+        self.det_score_thresh = det_score_thresh
+        self._objs: List[Dict] = []
+        self._finalized = False
+        self.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
+
+    # ------------------------------------------------------------ onboarding
+
+    def onboard_object(self, obj_id, template_dir: str,
+                       model_points: np.ndarray,
+                       num_templates: int = 42,
+                       poses: Optional[np.ndarray] = None) -> None:
+        """Register one object from its rendered template dir (demo-style
+        rgb_*.png / mask_*.png / xyz_*.npy views) + CAD sample points
+        (meters, n_sample_model_point rows)."""
+        assert not self._finalized, "onboard before the first frame"
+        ref = self.ism.onboard_templates_from_dir(
+            template_dir, num_templates=num_templates, poses=poses)
+        tem = self.pem.load_template_views(template_dir)
+        po, fo, pe_o = self.pem.onboard_templates(tem)
+        self._objs.append(dict(
+            obj_id=obj_id,
+            cls=ref["descriptors"][0],
+            appe=ref["appe_descriptors"][0],
+            poses_R=ref["poses_R"],
+            po=po, fo=fo, pe_o=pe_o,
+            model=jnp.asarray(model_points.astype(np.float32)),
+        ))
+
+    def _finalize(self) -> None:
+        if self._finalized:
+            return
+        assert self._objs, "no objects onboarded"
+        self.ism.set_reference_data(
+            jnp.stack([o["cls"] for o in self._objs]),
+            jnp.stack([o["appe"] for o in self._objs]),
+            self._objs[0]["poses_R"])
+        self._clouds = jnp.stack([o["model"] for o in self._objs])
+        self._model_all = jnp.stack([o["model"] for o in self._objs])
+        self._po_all = jnp.stack([o["po"] for o in self._objs])
+        self._fo_all = jnp.stack([o["fo"] for o in self._objs])
+        self._pe_all = jnp.stack([o["pe_o"] for o in self._objs])
+        self._finalized = True
+
+    # --------------------------------------------------------------- serving
+
+    def process_frame(self, rgb: np.ndarray, depth: np.ndarray,
+                      K: np.ndarray, depth_scale: float = 1.0,
+                      seed: int = 1) -> Dict:
+        """One RGB-D frame -> dict(detections, poses, ms). Detections carry
+        the onboarded object ids; poses are one dict per surviving
+        detection (R row-major, t in mm, fused ISM*PEM score)."""
+        self._finalize()
+        t0 = time.time()
+        result = self.ism.match_frame(rgb, depth, K, depth_scale,
+                                      self._clouds,
+                                      apply_nms_per_object=True)
+        dets = []
+        idx = np.where(result["valid"])[0]
+        for i in idx:
+            mask = (result["masks"][i] > 0.5).astype(np.uint8)
+            dets.append(dict(
+                object_id=int(result["object_ids"][i]),
+                score=float(result["scores"][i]),
+                bbox=[float(x) for x in result["boxes"][i]],
+                segmentation=rle_encode_coco(mask),
+            ))
+        poses, _ = self.pem.run_frame_multi(
+            rgb, depth, K, depth_scale, dets,
+            self._model_all, self._po_all, self._fo_all, self._pe_all,
+            det_score_thresh=self.det_score_thresh, seed=seed)
+        dt = time.time() - t0
+        self.stats["frames"] += 1
+        self.stats["detections"] += len(dets)
+        self.stats["poses"] += len(poses)
+        self.stats["seconds"] += dt
+        for p in poses:
+            p["object_id"] = self._objs[p["object_id"]]["obj_id"]
+        return dict(detections=dets, poses=poses, ms=dt * 1e3)
+
+    def throughput(self) -> Dict:
+        s = self.stats
+        fps = s["frames"] / s["seconds"] if s["seconds"] else 0.0
+        return dict(frames=s["frames"], poses=s["poses"],
+                    fps=round(fps, 3),
+                    ms_per_frame=round(1e3 * s["seconds"]
+                                       / max(s["frames"], 1), 2))
