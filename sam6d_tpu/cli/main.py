@@ -89,6 +89,69 @@ def cmd_demo(args):
           f"-> {args.output_dir}/sam6d_results/")
 
 
+def cmd_stream(args):
+    """Multi-object streaming serving (BASELINE config 5): render+onboard
+    every CAD once, then one fused ISM + one batched PEM dispatch per
+    frame; writes results.jsonl + a throughput summary."""
+    import glob as _glob
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from ..core.config import default_config
+    from ..data.mesh import load_ply
+    from ..pipelines.ism import ISMPipeline
+    from ..pipelines.pem import PEMPipeline
+    from ..pipelines.sam_amg import SAMSegmentor
+    from ..pipelines.streaming import MultiObjectStream
+    from ..render.templates import render_templates
+
+    cfg = default_config()
+    os.makedirs(args.output_dir, exist_ok=True)
+    ism = ISMPipeline(cfg.ism,
+                      segmentor=SAMSegmentor(
+                          cfg.ism.sam, variables=_load_sam_params(args.sam_ckpt)),
+                      dinov2_variables=_load_dinov2_params(args.dinov2_ckpt))
+    pem = PEMPipeline(cfg.pem, params=_load_pem_params(args.pem_ckpt))
+    stream = MultiObjectStream(ism, pem,
+                               det_score_thresh=args.det_score_thresh)
+    rng = np.random.RandomState(0)
+    for i, cad in enumerate(args.cad_paths):
+        obj_dir = os.path.join(args.output_dir, f"obj_{i}")
+        tdir = os.path.join(obj_dir, "templates")
+        mesh = load_ply(cad)
+        if not os.path.isdir(tdir):
+            render_templates(mesh, obj_dir, level=cfg.ism.template_level,
+                             image_size=cfg.render.image_size)
+        stream.onboard_object(
+            i, tdir, mesh.sample(cfg.pem.n_sample_model_point, rng),
+            ism_points=mesh.sample(cfg.ism.matching.pointcloud_sample_num,
+                                   rng))
+
+    cam = _json.load(open(args.cam_path))
+    K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
+    depth_scale = float(cam.get("depth_scale", 1.0))
+    rgbs = sorted(_glob.glob(os.path.join(args.frames_dir, "rgb*.png")))
+    if args.max_frames:
+        rgbs = rgbs[:args.max_frames]
+    out_path = os.path.join(args.output_dir, "results.jsonl")
+    with open(out_path, "w") as f:
+        for rp in rgbs:
+            dp = os.path.join(
+                os.path.dirname(rp),
+                os.path.basename(rp).replace("rgb", "depth", 1))
+            rgb = np.array(Image.open(rp).convert("RGB"))
+            depth = np.array(Image.open(dp)).astype(np.float32)
+            res = stream.process_frame(rgb, depth, K, depth_scale)
+            f.write(_json.dumps(dict(frame=os.path.basename(rp),
+                                     poses=res["poses"],
+                                     ms=round(res["ms"], 1))) + "\n")
+    tp = stream.throughput()
+    print(f"{tp['frames']} frames, {tp['poses']} poses, "
+          f"{tp['ms_per_frame']} ms/frame -> {out_path}")
+
+
 def cmd_pem(args):
     from ..core.config import default_config
     from ..pipelines.pem import run_demo_pem
@@ -302,6 +365,22 @@ def build_parser():
                          "templates")
     pb.add_argument("--reset_descriptors", action="store_true")
     pb.set_defaults(fn=cmd_bop_eval)
+
+    ps = sub.add_parser("stream",
+                        help="multi-object continuous-feed serving: onboard "
+                             "N CAD models, then process every rgb/depth "
+                             "frame pair in --frames_dir")
+    ps.add_argument("--cad_paths", nargs="+", required=True)
+    ps.add_argument("--frames_dir", required=True,
+                    help="directory of rgb*.png with matching depth*.png")
+    ps.add_argument("--cam_path", required=True)
+    ps.add_argument("--output_dir", default="outputs/stream")
+    ps.add_argument("--max_frames", type=int, default=None)
+    ps.add_argument("--det_score_thresh", type=float, default=0.2)
+    ps.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
+    ps.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))
+    ps.add_argument("--pem_ckpt", default=os.environ.get("PEM_CKPT"))
+    ps.set_defaults(fn=cmd_stream)
 
     pv = sub.add_parser("verify-weights")
     pv.add_argument("--weights_dir", required=True)

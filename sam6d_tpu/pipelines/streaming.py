@@ -46,15 +46,18 @@ class MultiObjectStream:
     def onboard_object(self, obj_id, template_dir: str,
                        model_points: np.ndarray,
                        num_templates: int = 42,
-                       poses: Optional[np.ndarray] = None) -> None:
+                       poses: Optional[np.ndarray] = None,
+                       ism_points: Optional[np.ndarray] = None) -> None:
         """Register one object from its rendered template dir (demo-style
         rgb_*.png / mask_*.png / xyz_*.npy views) + CAD sample points
-        (meters, n_sample_model_point rows)."""
+        (meters, n_sample_model_point rows). `ism_points` optionally uses
+        a different (usually denser) cloud for the ISM geometric score."""
         assert not self._finalized, "onboard before the first frame"
         ref = self.ism.onboard_templates_from_dir(
             template_dir, num_templates=num_templates, poses=poses)
         tem = self.pem.load_template_views(template_dir)
         po, fo, pe_o = self.pem.onboard_templates(tem)
+        ism_pts = model_points if ism_points is None else ism_points
         self._objs.append(dict(
             obj_id=obj_id,
             cls=ref["descriptors"][0],
@@ -62,6 +65,7 @@ class MultiObjectStream:
             poses_R=ref["poses_R"],
             po=po, fo=fo, pe_o=pe_o,
             model=jnp.asarray(model_points.astype(np.float32)),
+            cloud=jnp.asarray(ism_pts.astype(np.float32)),
         ))
 
     def _finalize(self) -> None:
@@ -72,7 +76,7 @@ class MultiObjectStream:
             jnp.stack([o["cls"] for o in self._objs]),
             jnp.stack([o["appe"] for o in self._objs]),
             self._objs[0]["poses_R"])
-        self._clouds = jnp.stack([o["model"] for o in self._objs])
+        self._clouds = jnp.stack([o["cloud"] for o in self._objs])
         self._model_all = jnp.stack([o["model"] for o in self._objs])
         self._po_all = jnp.stack([o["po"] for o in self._objs])
         self._fo_all = jnp.stack([o["fo"] for o in self._objs])

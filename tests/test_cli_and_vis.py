@@ -108,3 +108,13 @@ def test_side_by_side_shapes():
     assert c.shape == (10, 11, 3)
     assert (c[:6, 4:] == 1).all()
     assert (c[6:, 4:] == 0).all()
+
+
+def test_parser_stream():
+    args = build_parser().parse_args([
+        "stream", "--cad_paths", "a.ply", "b.ply",
+        "--frames_dir", "/tmp/frames", "--cam_path", "cam.json",
+        "--max_frames", "3"])
+    assert args.cmd == "stream"
+    assert args.cad_paths == ["a.ply", "b.ply"]
+    assert args.max_frames == 3 and args.det_score_thresh == 0.2
