@@ -92,6 +92,7 @@ def test_npz_roundtrip(tmp_path, rng):
         rle_decode_coco(recs[0]["segmentation"]), result["masks"][0] > 0)
 
 
+@pytest.mark.slow
 def test_onboard_bop_objects_with_cache(tmp_path, rng):
     import jax.numpy as jnp
     from sam6d_tpu.pipelines.ism import ISMPipeline
@@ -124,6 +125,7 @@ def test_onboard_bop_objects_with_cache(tmp_path, rng):
                                np.asarray(ref["descriptors"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_merge_equals_single_run(tmp_path):
     """Two shards + merge == single-process run (the reference's PL-DDP
     rank-file merge contract, detector.py:425-462)."""

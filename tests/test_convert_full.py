@@ -1,6 +1,7 @@
 """Full-checkpoint converter test: a synthetic state_dict with the exact
 reference module names/shapes converts into a tree that matches PEMNet.init
 structure-and-shape exactly, and the network runs with it."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,7 @@ def synth_state_dict(cfg, rng):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_full_matches_init_tree(rng):
     cfg = tiny_cfg()
     cfg = dataclasses.replace(

@@ -1,4 +1,5 @@
 """FastSAM backend tests (tiny scale; structure + decode + NMS + contract)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,7 @@ TINY_W = (8, 16, 32, 64, 64)
 TINY_D = (1, 1, 1, 1)
 
 
+@pytest.mark.slow
 def test_fastsam_net_shapes(rng):
     net = FastSAMNet(widths=TINY_W, depths=TINY_D)
     x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))

@@ -151,6 +151,7 @@ def test_adaptive_describe_matches_full_for_valid_prefix(rng):
     assert not np.asarray(out["valid"])[5:].any()
 
 
+@pytest.mark.slow
 def test_rank_mode_equals_exact_when_i2t_is_zero(rng):
     """MaskDecoder rank_only drops exactly the image<-token updates: with
     the i2t out-projections zeroed, rank mode == exact mode, and the
@@ -203,6 +204,7 @@ def test_rank_mode_equals_exact_when_i2t_is_zero(rng):
     assert b_full <= b_pre or b_pre == b_full
 
 
+@pytest.mark.slow
 def test_nms_topk_truncation_matches_full(rng):
     """Greedy-NMS prefix truncation: keep decisions only depend on
     higher-scored candidates, so top-T NMS == full NMS for the selected
@@ -233,6 +235,7 @@ def test_nms_topk_truncation_matches_full(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_crop_cascade_amg(rng):
     """crop_n_layers=1 runs the full image + 4 overlapping crops with a
     coarser per-layer grid and merges by cross-crop NMS (reference

@@ -37,6 +37,7 @@ def test_bucket():
     assert _bucket(100, cap=64) == 64
 
 
+@pytest.mark.slow
 def test_cached_template_pe_matches_on_the_fly(rng):
     """The pe_o cached at onboarding (production/bench path) must equal the
     on-the-fly fine_pe(dense_po) the net computes when no cache is given —
@@ -127,6 +128,7 @@ def test_run_demo_pem_plumbing(tmp_path, rng):
         assert np.isfinite(r["score"])
 
 
+@pytest.mark.slow
 def test_pem_pipeline_sharded_inference(rng):
     """PEM inference with instance batches sharded over the 8-device mesh."""
     import jax

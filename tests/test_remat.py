@@ -1,6 +1,7 @@
 """Gradient checkpointing on the ViT scan (ViTConfig.remat): parameter tree
 and gradients must be identical to the non-remat path — remat only changes
 what the backward pass stores vs recomputes."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ def _make(remat):
                       num_heads=4, out_dim=16, remat=remat)
 
 
+@pytest.mark.slow
 def test_remat_same_params_and_grads(rng):
     x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
     base = _make(False)

@@ -66,6 +66,7 @@ def _write_tiny_bop(tmp_path, diameter=80.0):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_render_bop_templates_consumed_by_bop_object(tmp_path):
     """render-bop driver output round-trips through BOPObject.load_template
     (reference Render/render_bop_templates.py:28-47 contract)."""
@@ -89,6 +90,7 @@ def test_render_bop_templates_consumed_by_bop_object(tmp_path):
     assert len([f for f in os.listdir(dirs[0]) if f.startswith("rgb_")]) == 42
 
 
+@pytest.mark.slow
 def test_render_training_templates_two_views_and_rot90(tmp_path):
     """GSO/ShapeNet 2-view training templates: xyz in the NOCS local/r
     convention; the ShapeNet variant applies the rot90 frame fix

@@ -1,4 +1,5 @@
 """SAM component parity: flax vs torch oracles through the converter."""
+import pytest
 import numpy as np
 import torch
 import jax
@@ -138,6 +139,7 @@ def test_mask_decoder_block_layout_matches_convtranspose(rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_factored_keys_matches_standard(rng):
     """The factored image-side transformer (a*S + P@U carried through both
     layers + final attention) == the standard materialized path, exactly."""

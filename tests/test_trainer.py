@@ -1,4 +1,5 @@
 """Trainer tests on the virtual 8-device CPU mesh (tiny config)."""
+import pytest
 import dataclasses
 
 import numpy as np
@@ -39,6 +40,7 @@ def test_aug_pose_noise_properties(rng):
     assert np.abs(np.asarray(tn) - t).max() <= 0.8 + 1e-6
 
 
+@pytest.mark.slow
 def test_train_step_overfits_fixed_batch():
     """Repeatedly stepping on ONE fixed batch (fixed pose-noise key) must
     drive the correspondence loss down — a real learning signal, not just
@@ -62,6 +64,7 @@ def test_train_step_overfits_fixed_batch():
     assert tail < 0.7 * head, f"loss did not decrease: {head:.4f} -> {tail:.4f}"
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     import jax.numpy as jnp
     from sam6d_tpu.core.checkpoint import (
