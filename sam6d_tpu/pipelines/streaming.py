@@ -111,6 +111,8 @@ class MultiObjectStream:
             self._model_all, self._po_all, self._fo_all, self._pe_all,
             det_score_thresh=self.det_score_thresh, seed=seed)
         dt = time.time() - t0
+        if self.stats["frames"] == 0:
+            self.stats["first_frame_s"] = dt  # includes the jit compiles
         self.stats["frames"] += 1
         self.stats["detections"] += len(dets)
         self.stats["poses"] += len(poses)
@@ -120,9 +122,16 @@ class MultiObjectStream:
         return dict(detections=dets, poses=poses, ms=dt * 1e3)
 
     def throughput(self) -> Dict:
+        """Steady-state stats exclude the first frame (compile warm-up)."""
         s = self.stats
-        fps = s["frames"] / s["seconds"] if s["seconds"] else 0.0
-        return dict(frames=s["frames"], poses=s["poses"],
-                    fps=round(fps, 3),
-                    ms_per_frame=round(1e3 * s["seconds"]
-                                       / max(s["frames"], 1), 2))
+        warm_frames = max(s["frames"] - 1, 0)
+        warm_s = s["seconds"] - s.get("first_frame_s", 0.0)
+        out = dict(frames=s["frames"], poses=s["poses"],
+                   first_frame_ms=round(1e3 * s.get("first_frame_s", 0.0), 1))
+        if warm_frames:
+            out["fps"] = round(warm_frames / max(warm_s, 1e-9), 3)
+            out["ms_per_frame"] = round(1e3 * warm_s / warm_frames, 2)
+        else:
+            out["fps"] = 0.0
+            out["ms_per_frame"] = 0.0
+        return out
