@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Unified TPU microbenchmark probe driver (replaces exp_variants2..24).
+
+Usage:
+    python scripts/probe.py EXP [EXP ...]      # run experiment group(s)
+    python scripts/probe.py --list             # show available groups
+
+Every experiment uses the same trustworthy harness: the op under test is
+wrapped in an 8-iteration on-device `lax.map` (so tunnel dispatch noise is
+amortized 8x) and timed with bench.timed (median minus measured dispatch
+overhead). Only numbers from the SAME process/run are comparable
+(see PERFORMANCE.md "Lessons"). Results print as one JSON line per group.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import timed, _log, init_like
+
+RESULTS = {}
+EXPS = {}
+
+
+def exp(name):
+    def deco(fn):
+        EXPS[name] = fn
+        return fn
+    return deco
+
+
+def report(name, seconds, per=8):
+    RESULTS[name] = round(seconds * 1e3 / per, 3)
+    _log(f"{name}: {seconds*1e3:.1f} ms total ({seconds*1e3/per:.2f}/iter)")
+
+
+def map8(body, *args):
+    """jit(sum(lax.map(body over 8 perturbed copies)))."""
+    def fn(*a):
+        def one(i):
+            return jnp.sum(body(i, *a))
+        return jnp.sum(jax.lax.map(one, jnp.arange(8, dtype=jnp.float32)))
+    return jax.jit(fn)
+
+
+# --------------------------------------------------------------------- geo
+
+@exp("geo")
+def exp_geo():
+    """GeometricStructureEmbedding at PEM shapes (B=16, N=197): round-2
+    formulation vs the round-3 planar/fused-sin rewrite."""
+    from sam6d_tpu.models.geo_transformer import GeometricStructureEmbedding
+    from sam6d_tpu.ops.embedding import (
+        sinusoidal_embedding, geometric_embedding_indices)
+
+    rng = np.random.RandomState(0)
+    B, N, C = 16, 197, 256
+    pts = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) - 0.5)
+    mod = GeometricStructureEmbedding(hidden_dim=C, dtype=jnp.bfloat16)
+    v = init_like(lambda: mod.init(jax.random.PRNGKey(0), pts))
+    p = v["params"]
+
+    def old_impl(i, pts, p):
+        d_idx, a_idx = geometric_embedding_indices(pts + i * 1e-6, 0.2, 15.0, 3)
+        d = sinusoidal_embedding(d_idx, C).astype(jnp.bfloat16)
+        a = sinusoidal_embedding(a_idx, C).astype(jnp.bfloat16)
+        d = d @ p["proj_d"]["kernel"].astype(jnp.bfloat16) + p["proj_d"]["bias"].astype(jnp.bfloat16)
+        a = a @ p["proj_a"]["kernel"].astype(jnp.bfloat16) + p["proj_a"]["bias"].astype(jnp.bfloat16)
+        return d + jnp.max(a, axis=3)
+
+    def new_impl(i, pts, v):
+        return mod.apply(v, pts + i * 1e-6)
+
+    f_old = map8(old_impl, pts, p)
+    f_new = map8(new_impl, pts, v)
+    report("geo.old", timed(lambda i: f_old(pts + i * 1e-7, p)))
+    report("geo.new", timed(lambda i: f_new(pts + i * 1e-7, v)))
+
+
+# -------------------------------------------------------------------- finepe
+
+@exp("finepe")
+def exp_finepe():
+    """Fine positional encoding at PEM shapes (B=16, N=2048): round-2 raw
+    coordinate gathers vs round-3 pre-projected 32-channel gathers."""
+    from sam6d_tpu.models.fine_matching import PositionalEncoding, SharedMLP
+    from sam6d_tpu.ops.ball_query import group_points
+
+    rng = np.random.RandomState(0)
+    B, N = 16, 2048
+    pts = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 0.4 - 0.2)
+    pe = PositionalEncoding(dtype=jnp.bfloat16)
+    v = init_like(lambda: pe.init(jax.random.PRNGKey(0), pts))
+
+    f_new = map8(lambda i, pts, v: pe.apply(v, pts + i * 1e-6), pts, v)
+    report("finepe.new", timed(lambda i: f_new(pts + i * 1e-7, v)))
+
+    # isolated gather comparison: (B, N, 96) idx rows of width 3 vs 32
+    idx = jnp.asarray(rng.randint(0, N, (B, N, 96)).astype(np.int32))
+    feat3 = pts
+    feat32 = jnp.asarray(rng.rand(B, N, 32).astype(np.float32)).astype(jnp.bfloat16)
+
+    g3 = map8(lambda i, f, ix: group_points(f + i * 1e-6, ix), feat3, idx)
+    g32 = map8(lambda i, f, ix: group_points(f + i * 1e-6, ix), feat32, idx)
+    report("finepe.gather3", timed(lambda i: g3(feat3 + i * 1e-7, idx)))
+    report("finepe.gather32", timed(lambda i: g32(feat32 + i * 1e-7, idx)))
+
+
+# ----------------------------------------------------------------------- pem
+
+@exp("pem")
+def exp_pem():
+    """Full PEM forward (B=16): with vs without the onboarding caches."""
+    from sam6d_tpu.core.config import PEMConfig
+    from sam6d_tpu.models.pem import PEMNet
+    from sam6d_tpu.core.params import cast_float_params
+
+    cfg = PEMConfig()
+    net = PEMNet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    B, S, NF = 16, cfg.img_size, cfg.fine_npoint
+    base = dict(
+        rgb=jnp.asarray(rng.rand(B, S, S, 3).astype(np.float32)),
+        rgb_choose=jnp.asarray(rng.randint(0, S * S, (B, NF))),
+        pts=jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.1),
+        model=jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32) * 0.1),
+        dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
+        dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
+    )
+    cached = dict(
+        base,
+        pe_o=jnp.asarray(rng.rand(1, NF, cfg.fine.hidden_dim).astype(np.float32)),
+        sparse_po=jnp.asarray((rng.rand(1, cfg.coarse_npoint, 3) - 0.5).astype(np.float32)),
+        sparse_fo=jnp.asarray(rng.rand(1, cfg.coarse_npoint, cfg.vit.out_dim).astype(np.float32)),
+        fps_idx_o=jnp.asarray(rng.randint(0, NF, (1, cfg.coarse_npoint)).astype(np.int32)),
+        geo_o=jnp.asarray(rng.rand(1, cfg.coarse_npoint + 1, cfg.coarse_npoint + 1,
+                                   cfg.geo_embedding.hidden_dim).astype(np.float32)),
+    )
+    v = cast_float_params(init_like(lambda: net.init(
+        {"params": jax.random.PRNGKey(0)}, base, jax.random.PRNGKey(0))),
+        jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    for name, inputs in (("pem.nocache", base), ("pem.cached", cached)):
+        fwd = jax.jit(lambda v, i, k: jnp.sum(net.apply(v, i, k)["pred_R"]))
+
+        def body(i, inputs=inputs, fwd=fwd):
+            inp = dict(inputs, rgb=inputs["rgb"] + i * 1e-6)
+            return fwd(v, inp, jax.random.fold_in(key, i))
+
+        report(name, timed(body), per=1)
+
+
+# ----------------------------------------------------------------------- enc
+
+@exp("enc")
+def exp_enc():
+    """SAM ViT-H encoder decomposition: where do the ~112 ms go?"""
+    from sam6d_tpu.models.sam import SAMImageEncoder
+    from sam6d_tpu.core.params import cast_float_params
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 1024, 1024, 3).astype(np.float32)).astype(jnp.bfloat16)
+
+    def run(name, **kw):
+        enc = SAMImageEncoder(use_flash=True, dtype=jnp.bfloat16, **kw)
+        v = cast_float_params(init_like(
+            lambda: enc.init(jax.random.PRNGKey(0), x)), jnp.bfloat16)
+        fwd = jax.jit(lambda v, x: jnp.sum(enc.apply(v, x)))
+        report(name, timed(lambda i: fwd(v, x + i * 1e-6)), per=1)
+
+    run("enc.full")
+
+
+@exp("encmlp")
+def exp_encmlp():
+    """Pure GEMM-stack calibration at encoder shapes: 32 x (qkv+proj+MLP)
+    over (4096, 1280) tokens — the encoder's floor if attention were free."""
+    rng = np.random.RandomState(0)
+    D = 1280
+    x = jnp.asarray(rng.rand(4096, D).astype(np.float32)).astype(jnp.bfloat16)
+    Wqkv = jnp.asarray(rng.rand(32, D, 3 * D).astype(np.float32) * 0.01).astype(jnp.bfloat16)
+    Wp = jnp.asarray(rng.rand(32, D, D).astype(np.float32) * 0.01).astype(jnp.bfloat16)
+    W1 = jnp.asarray(rng.rand(32, D, 4 * D).astype(np.float32) * 0.01).astype(jnp.bfloat16)
+    W2 = jnp.asarray(rng.rand(32, 4 * D, D).astype(np.float32) * 0.01).astype(jnp.bfloat16)
+
+    def block(x, w):
+        wqkv, wp, w1, w2 = w
+        h = x @ wqkv
+        h = h[:, :D] + h[:, D:2 * D] * 0.1 + h[:, 2 * D:] * 0.1
+        x = x + h @ wp
+        return x + jax.nn.gelu(x @ w1) @ w2
+
+    @jax.jit
+    def fwd(x, ws):
+        y, _ = jax.lax.scan(lambda c, w: (block(c, w), None), x, ws)
+        return jnp.sum(y)
+
+    flops = 32 * (4096 * D * 3 * D + 4096 * D * D + 2 * 4096 * D * 4 * D) * 2
+    sec = timed(lambda i: fwd(x + i * 1e-6, (Wqkv, Wp, W1, W2)))
+    report("encmlp.scan32", sec, per=1)
+    _log(f"encmlp: {flops/sec/1e12:.1f} TF/s")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args or "--list" in args:
+        print("available:", " ".join(sorted(EXPS)))
+        sys.exit(0)
+    for a in args:
+        _log(f"=== {a} ===")
+        EXPS[a]()
+    print(json.dumps(RESULTS))
