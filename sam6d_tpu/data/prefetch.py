@@ -35,6 +35,9 @@ class PrefetchLoader:
         self._make = make_batch
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._live = num_workers
+        self._live_lock = threading.Lock()
+        self._first_exc: Exception | None = None
         self._threads = []
         for i in range(num_workers):
             t = threading.Thread(target=self._worker, args=(seed + i,),
@@ -44,24 +47,42 @@ class PrefetchLoader:
 
     def _worker(self, seed: int):
         rng = np.random.RandomState(seed)
-        while not self._stop.is_set():
-            try:
-                batch = self._make(rng)
-            except Exception as e:  # surface worker crashes to the consumer
-                self._q.put(e)
-                return
+        try:
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+                    batch = self._make(rng)
+                except Exception as e:  # surface worker crashes to the consumer
+                    self._q.put(e)
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        finally:
+            with self._live_lock:
+                self._live -= 1
 
     def get(self):
-        item = self._q.get()
-        if isinstance(item, Exception):
-            raise item
-        return item
+        while True:
+            try:
+                item = self._q.get(timeout=0.5)
+            except queue.Empty:
+                # all producers dead and queue drained -> error out rather
+                # than blocking the training loop forever
+                with self._live_lock:
+                    dead = self._live == 0
+                if dead and self._q.empty():
+                    raise RuntimeError(
+                        "all PrefetchLoader workers have exited"
+                    ) from self._first_exc
+                continue
+            if isinstance(item, Exception):
+                if self._first_exc is None:
+                    self._first_exc = item
+                raise item
+            return item
 
     def __iter__(self):
         while True:

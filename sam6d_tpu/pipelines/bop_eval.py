@@ -140,8 +140,7 @@ def run_pem_bop_eval(
     obj_feats = []
     for obj in objects:
         tem = loader.template_views(obj)
-        po, fo, pe_o = pipeline.onboard_templates(tem)
-        obj_feats.append((po, fo, pe_o))
+        obj_feats.append(pipeline.onboard_templates(tem))
 
     grouped = loader.group_detections(detections)
     scenes = {s.scene_id: s for s in discover_test_scenes(dataset_dir)}
@@ -163,15 +162,17 @@ def run_pem_bop_eval(
             whole_pts = np.asarray(depth_to_pointcloud(
                 jnp.asarray(frame["depth"] * frame["depth_scale"] / 1000.0),
                 jnp.asarray(frame["K"])))
-            t0 = time.time()
             insts, kept = loader.assemble_instances(frame, dets, whole_pts)
             if not insts:
                 continue
-            yield scene_id, im_id, t0, insts, kept
+            yield scene_id, im_id, insts, kept
             n += 1
 
     from ..data.prefetch import iter_prefetched
-    for scene_id, im_id, t0, insts, kept in iter_prefetched(frames(), depth=2):
+    for scene_id, im_id, insts, kept in iter_prefetched(frames(), depth=2):
+        # time from the moment the frame is in hand (prefetch lead excluded),
+        # matching run_ism_bop_eval's convention for the BOP19 time column
+        t0 = time.time()
         # chunk instances (reference test_bop.py:130-135)
         for c0 in range(0, len(insts), chunk_size):
             chunk = insts[c0:c0 + chunk_size]
@@ -191,19 +192,15 @@ def run_pem_bop_eval(
             if pad:
                 model_pts = np.concatenate(
                     [model_pts, np.repeat(model_pts[-1:], pad, 0)])
-            dense_po = jnp.stack(
-                [obj_feats[i["obj_idx"]][0] for i in chunk]
-                + [obj_feats[chunk[-1]["obj_idx"]][0]] * pad)
-            dense_fo = jnp.stack(
-                [obj_feats[i["obj_idx"]][1] for i in chunk]
-                + [obj_feats[chunk[-1]["obj_idx"]][1]] * pad)
-            pe_o = jnp.stack(
-                [obj_feats[i["obj_idx"]][2] for i in chunk]
-                + [obj_feats[chunk[-1]["obj_idx"]][2]] * pad)
+            def tem_stack(key_):
+                return jnp.stack(
+                    [obj_feats[i["obj_idx"]][key_] for i in chunk]
+                    + [obj_feats[chunk[-1]["obj_idx"]][key_]] * pad)
+
             inputs = dict(
                 rgb=stack("rgb"), rgb_choose=stack("rgb_choose", np.int32),
                 pts=stack("pts"), model=jnp.asarray(model_pts),
-                dense_po=dense_po, dense_fo=dense_fo, pe_o=pe_o)
+                **{k: tem_stack(k) for k in obj_feats[0]})
             out = pipeline.infer_batch(inputs, seed=1)
             dt = time.time() - t0
             R = np.asarray(out["pred_R"])[:len(chunk)]

@@ -346,7 +346,12 @@ class ISMPipeline:
         vis = ism_scoring.visible_ratio(patch_desc, ref_appe,
                                         cfg.matching.visible_thred)
 
-        poses_R = poses_R_all[best_template]
+        # poses_R_all: (T,3,3) shared across objects, or (O,T,3,3) when
+        # objects were onboarded with differing template pose sets
+        if poses_R_all.ndim == 4:
+            poses_R = poses_R_all[obj_idx, best_template]
+        else:
+            poses_R = poses_R_all[best_template]
         pcs = pointclouds[obj_idx]
         geo = ism_scoring.geometric_scores(
             boxes, masks, depth, K, depth_scale, poses_R, pcs)

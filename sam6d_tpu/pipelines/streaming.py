@@ -56,14 +56,14 @@ class MultiObjectStream:
         ref = self.ism.onboard_templates_from_dir(
             template_dir, num_templates=num_templates, poses=poses)
         tem = self.pem.load_template_views(template_dir)
-        po, fo, pe_o = self.pem.onboard_templates(tem)
+        templates = self.pem.onboard_templates(tem)
         ism_pts = model_points if ism_points is None else ism_points
         self._objs.append(dict(
             obj_id=obj_id,
             cls=ref["descriptors"][0],
             appe=ref["appe_descriptors"][0],
             poses_R=ref["poses_R"],
-            po=po, fo=fo, pe_o=pe_o,
+            templates=templates,
             model=jnp.asarray(model_points.astype(np.float32)),
             cloud=jnp.asarray(ism_pts.astype(np.float32)),
         ))
@@ -72,15 +72,26 @@ class MultiObjectStream:
         if self._finalized:
             return
         assert self._objs, "no objects onboarded"
+        # per-object template pose sets: collapse to (T,3,3) when every
+        # object shares one set, else pass the (O,T,3,3) stack so the
+        # viewpoint-dependent geometric score uses each object's own poses
+        poses = [np.asarray(o["poses_R"]) for o in self._objs]
+        if all(p.shape == poses[0].shape and np.array_equal(p, poses[0])
+               for p in poses[1:]):
+            poses_R = self._objs[0]["poses_R"]
+        else:
+            assert all(p.shape == poses[0].shape for p in poses), \
+                "onboarded objects must use the same number of template views"
+            poses_R = jnp.stack([jnp.asarray(p) for p in poses])
         self.ism.set_reference_data(
             jnp.stack([o["cls"] for o in self._objs]),
             jnp.stack([o["appe"] for o in self._objs]),
-            self._objs[0]["poses_R"])
+            poses_R)
         self._clouds = jnp.stack([o["cloud"] for o in self._objs])
         self._model_all = jnp.stack([o["model"] for o in self._objs])
-        self._po_all = jnp.stack([o["po"] for o in self._objs])
-        self._fo_all = jnp.stack([o["fo"] for o in self._objs])
-        self._pe_all = jnp.stack([o["pe_o"] for o in self._objs])
+        self._templates_all = {
+            k: jnp.stack([o["templates"][k] for o in self._objs])
+            for k in self._objs[0]["templates"]}
         self._finalized = True
 
     # --------------------------------------------------------------- serving
@@ -108,7 +119,7 @@ class MultiObjectStream:
             ))
         poses, _ = self.pem.run_frame_multi(
             rgb, depth, K, depth_scale, dets,
-            self._model_all, self._po_all, self._fo_all, self._pe_all,
+            self._model_all, self._templates_all,
             det_score_thresh=self.det_score_thresh, seed=seed)
         dt = time.time() - t0
         if self.stats["frames"] == 0:

@@ -30,6 +30,25 @@ def test_prefetch_loader_surfaces_worker_errors():
     loader.close()
 
 
+def test_prefetch_loader_raises_after_all_workers_die():
+    """Once every worker has crashed and its exception was consumed, get()
+    must error out (not block forever on the empty queue)."""
+    def broken(rng):
+        raise ValueError("boom")
+
+    loader = PrefetchLoader(broken, num_workers=2, depth=4)
+    seen = 0
+    with pytest.raises((ValueError, RuntimeError)):
+        for _ in range(5):  # more gets than workers -> must hit RuntimeError
+            try:
+                loader.get()
+            except ValueError:
+                seen += 1  # each worker's own exception
+                continue
+    assert seen <= 2
+    loader.close()
+
+
 def test_prefetch_loader_overlaps_production():
     """With 4 workers each taking ~20ms, consuming 8 batches should take
     well under the serial 160ms."""
