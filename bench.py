@@ -98,8 +98,15 @@ def bench_pem(dtype, instances: int):
         model=jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32) * 0.1),
         dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
         dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
-        # production pipelines cache the template PE at onboarding
-        pe_o=jnp.asarray(rng.rand(B, NF, cfg.fine.hidden_dim).astype(np.float32)),
+        # production pipelines cache the template PE + coarse trunk at
+        # onboarding (batch-1, broadcast lazily inside the program)
+        pe_o=jnp.asarray(rng.rand(1, NF, cfg.fine.hidden_dim).astype(np.float32)),
+        sparse_po=jnp.asarray((rng.rand(1, cfg.coarse_npoint, 3) - 0.5).astype(np.float32)),
+        sparse_fo=jnp.asarray(rng.rand(1, cfg.coarse_npoint, cfg.vit.out_dim).astype(np.float32)),
+        fps_idx_o=jnp.asarray(rng.randint(0, NF, (1, cfg.coarse_npoint)).astype(np.int32)),
+        geo_o=jnp.asarray(rng.rand(
+            1, cfg.coarse_npoint + 1, cfg.coarse_npoint + 1,
+            cfg.geo_embedding.hidden_dim).astype(np.float32)),
     )
     variables = init_like(lambda: net.init(
         {"params": jax.random.PRNGKey(0)}, inputs, jax.random.PRNGKey(0)))

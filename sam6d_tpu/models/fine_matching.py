@@ -35,18 +35,34 @@ class _ScanS2DBlock(_nn.Module):
 
 class SharedMLP(nn.Module):
     """Conv2d(1x1)+BN+ReLU stack over (B, M, S, C) grouped features
-    (reference pytorch_utils.SharedMLP — BN in eval mode folds to scale+bias)."""
+    (reference pytorch_utils.SharedMLP — BN in eval mode folds to scale+bias).
+
+    `first_linear` / `after_first` split the stack around the first (bias-
+    free) projection so callers can apply conv_0 algebraically BEFORE a
+    gather (PositionalEncoding pre-projects the cloud and gathers 32-wide
+    rows instead of 3-wide ones); `__call__` == after_first(first_linear)."""
     channels: tuple
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}")(x)
-            x = nn.relu(x)
+    def setup(self):
+        self.convs = [nn.Dense(c, use_bias=False, dtype=self.dtype,
+                               name=f"conv_{i}")
+                      for i, c in enumerate(self.channels)]
+        self.bns = [nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 name=f"bn_{i}")
+                    for i in range(len(self.channels))]
+
+    def first_linear(self, x):
+        return self.convs[0](x)
+
+    def after_first(self, h, train: bool = False):
+        x = nn.relu(self.bns[0](h, use_running_average=not train))
+        for conv, bn in zip(self.convs[1:], self.bns[1:]):
+            x = nn.relu(bn(conv(x), use_running_average=not train))
         return x
+
+    def __call__(self, x, train: bool = False):
+        return self.after_first(self.first_linear(x), train)
 
 
 class PositionalEncoding(nn.Module):
@@ -75,20 +91,28 @@ class PositionalEncoding(nn.Module):
             idx1, idx2 = two_scale_ball_query(
                 self.r1, self.nsample1, self.r2, self.nsample2, pts, pts)
 
-        def rel_abs(idx):
-            # QueryAndGroup semantics with use_xyz=True and features=pts:
-            # [grouped_xyz - center, grouped_xyz] channels
-            grouped = group_points(pts, idx)  # (B, N, S, 3)
-            return jnp.concatenate(
-                [grouped - pts[:, :, None, :], grouped], axis=-1)
+        mlp1 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp1")
+        mlp2 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp2")
 
-        f1 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp1")(
-            rel_abs(idx1), train)
-        f1 = jnp.max(f1, axis=2)
-        f2 = SharedMLP((32, 64, 128), dtype=self.dtype, name="mlp2")(
-            rel_abs(idx2), train)
-        f2 = jnp.max(f2, axis=2)
-        f = jnp.concatenate([f1, f2], axis=-1)
+        # QueryAndGroup feeds [grouped_xyz - center, grouped_xyz] (6 ch) to
+        # the bias-free conv_0, which is linear — so project the CLOUD first
+        # and gather 32-wide rows instead of 3-wide ones:
+        #   conv0([p_j - p_i, p_j]) = conv0([p_j, p_j]) - conv0([p_i, 0])
+        # Same values (fp associativity aside); the (B, N, S, 3) coordinate
+        # gather (~20 ms at PEM shapes, rows too thin for the TPU gather
+        # path) becomes a lane-aligned 32-channel row gather, and the
+        # minor-dim-6 GEMM over the grouped tensor disappears.
+        pp = jnp.concatenate([pts, pts], axis=-1)
+        p0 = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=-1)
+
+        def scale_feats(mlp, idx):
+            u = mlp.first_linear(pp)            # (B, N, 32)  "abs+rel" part
+            v = mlp.first_linear(p0)[:, :, None, :]  # center part
+            h = group_points(u, idx) - v        # (B, N, S, 32)
+            return jnp.max(mlp.after_first(h, train), axis=2)
+
+        f = jnp.concatenate(
+            [scale_feats(mlp1, idx1), scale_feats(mlp2, idx2)], axis=-1)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="mlp3")(f)
 
 

@@ -21,9 +21,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from ..ops.embedding import sinusoidal_embedding, geometric_embedding_indices
+from ..ops.embedding import pairwise_planar_diffs, sinusoid_phase_tables
+from ..ops.geometry import pairwise_sq_distance
 
 
 class GeometricStructureEmbedding(nn.Module):
@@ -36,19 +38,73 @@ class GeometricStructureEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, points):
-        """points: (B, N, 3) -> (B, N, N, hidden_dim)."""
-        d_idx, a_idx = geometric_embedding_indices(
-            points, self.sigma_d, self.sigma_a, self.angle_k
-        )
-        d_emb = sinusoidal_embedding(d_idx, self.hidden_dim)
-        d_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")(d_emb)
-        a_emb = sinusoidal_embedding(a_idx, self.hidden_dim)
-        a_emb = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")(a_emb)
-        if self.reduction_a == "max":
-            a_emb = jnp.max(a_emb, axis=3)
-        else:
-            a_emb = jnp.mean(a_emb, axis=3)
-        return d_emb + a_emb
+        """points: (B, N, 3) -> (B, N, N, hidden_dim).
+
+        Matches reference transformer.py:286-349 (indices -> sinusoidal
+        embedding -> proj_d / proj_a -> angle-k reduction) but computed in
+        TPU-native form: all pairwise geometry as per-component (B, N, N)
+        planes (never a minor-dim-3 tensor), the interleaved sin/cos
+        embedding as ONE fused sin over phase tables, and the k-angle
+        reduction applied to the PROJECTED embeddings one k at a time
+        (max_k(xW + b) = max_k(xW) + b), so the (B, N, N, k, C) stack is
+        never materialized.
+        """
+        B, N, _ = points.shape
+        ax, ay, az = pairwise_planar_diffs(points)
+        d2 = ax * ax + ay * ay + az * az
+        dist = jnp.sqrt(d2)
+
+        proj_d = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_d")
+        proj_a = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")
+
+        div_d, phase = sinusoid_phase_tables(self.hidden_dim, 1.0 / self.sigma_d)
+        out = proj_d(jnp.sin(dist[..., None] * div_d + phase)
+                     .astype(self.dtype))
+
+        # k nearest neighbors excluding self (reference knn with k+1, drop 0).
+        # The DISCRETE selection uses the reference's matmul-form pairwise
+        # distance so near-tie orderings match it bit-for-bit; everything
+        # continuous uses the exact planar differences above.
+        k = self.angle_k
+        d2_sel = pairwise_sq_distance(points, points)
+        _, knn_idx = jax.lax.top_k(-d2_sel, k + 1)  # (B, N, k+1)
+        knn_idx = knn_idx[..., 1:]
+        flat = knn_idx.reshape(B, N * k)
+        px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+        kx = jnp.take_along_axis(px, flat, axis=1).reshape(B, N, k)
+        ky = jnp.take_along_axis(py, flat, axis=1).reshape(B, N, k)
+        kz = jnp.take_along_axis(pz, flat, axis=1).reshape(B, N, k)
+        rx = kx - px[..., None]  # (B, N, k) reference vectors
+        ry = ky - py[..., None]
+        rz = kz - pz[..., None]
+
+        factor_a = 180.0 / (self.sigma_a * np.pi)
+        div_a, _ = sinusoid_phase_tables(self.hidden_dim, factor_a)
+        a_out = None
+        for kk in range(k):
+            rxe = rx[..., kk:kk + 1]  # (B, N, 1) broadcast over m
+            rye = ry[..., kk:kk + 1]
+            rze = rz[..., kk:kk + 1]
+            cx = rye * az - rze * ay
+            cy = rze * ax - rxe * az
+            cz = rxe * ay - rye * ax
+            sin_v = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            # + 0.0 forces -0.0 -> +0.0 on the diagonal (all three products
+            # are signed zeros there); arctan2(0, -0.0) would yield pi where
+            # the reference's sum-reduction (+0 accumulator) yields 0
+            cos_v = rxe * ax + rye * ay + rze * az + 0.0
+            ang = jnp.arctan2(sin_v, cos_v)  # (B, N, N)
+            p = proj_a(jnp.sin(ang[..., None] * div_a + phase)
+                       .astype(self.dtype))
+            if a_out is None:
+                a_out = p
+            elif self.reduction_a == "max":
+                a_out = jnp.maximum(a_out, p)
+            else:
+                a_out = a_out + p
+        if self.reduction_a != "max" and k > 1:
+            a_out = a_out / k
+        return out + a_out
 
 
 class AttentionOutput(nn.Module):

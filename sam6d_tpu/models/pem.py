@@ -89,6 +89,23 @@ class PEMNet(nn.Module):
         pose-independent, cache alongside dense_fo at onboarding."""
         return self.fine_pe(dense_po_normalized)
 
+    def template_trunk(self, dense_po_normalized, dense_fo):
+        """Pose-independent template-side coarse trunk: FPS + geometric
+        structure embedding of the NORMALIZED template cloud. The reference
+        recomputes this for every test batch (feature_extraction.py:135-142);
+        it depends only on onboarding outputs, so the pipeline caches it once
+        per object and the per-frame program skips one full
+        GeometricStructureEmbedding call (~22 ms at B=16)."""
+        c = self.cfg
+        B = dense_po_normalized.shape[0]
+        bg_point = jnp.full((B, 1, 3), 100.0, dense_po_normalized.dtype)
+        sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
+            dense_po_normalized, dense_fo, c.coarse_npoint)
+        geo_o = self.geo_embedding(
+            jnp.concatenate([bg_point, sparse_po], axis=1))
+        return dict(sparse_po=sparse_po, sparse_fo=sparse_fo,
+                    fps_idx_o=fps_idx_o, geo_o=geo_o)
+
     def extract_template_feats(self, tem_rgb, tem_choose, tem_pts,
                                valid_mask=None, npoint: int | None = None):
         """Onboard templates: per-view pixel feats, concat views, FPS to
@@ -130,10 +147,24 @@ class PEMNet(nn.Module):
             dense_pm, dense_fm, c.coarse_npoint)
         geo_m = self.geo_embedding(
             jnp.concatenate([bg_point, sparse_pm], axis=1))
-        sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
-            dense_po, dense_fo, c.coarse_npoint)
-        geo_o = self.geo_embedding(
-            jnp.concatenate([bg_point, sparse_po], axis=1))
+        if "geo_o" in inputs:
+            # onboarding-cached template trunk (template_trunk); batch-1
+            # caches broadcast lazily — XLA fuses the broadcast into the
+            # attention contractions, so the (B, N, N, C) replica is never
+            # materialized for the single-object path
+            def bcast(x):
+                if x.shape[0] == B:
+                    return x
+                return jnp.broadcast_to(x, (B, *x.shape[1:]))
+            sparse_po = bcast(inputs["sparse_po"])
+            sparse_fo = bcast(inputs["sparse_fo"])
+            fps_idx_o = bcast(inputs["fps_idx_o"])
+            geo_o = bcast(inputs["geo_o"])
+        else:
+            sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
+                dense_po, dense_fo, c.coarse_npoint)
+            geo_o = self.geo_embedding(
+                jnp.concatenate([bg_point, sparse_po], axis=1))
         return dict(
             dense_pm=dense_pm, dense_fm=dense_fm, dense_po=dense_po,
             dense_fo=dense_fo, radius=radius,
@@ -161,6 +192,8 @@ class PEMNet(nn.Module):
         pe_o = inputs.get("pe_o")
         if pe_o is None:
             pe_o = self.fine_pe(tr["dense_po"])
+        elif pe_o.shape[0] != pe1.shape[0]:
+            pe_o = jnp.broadcast_to(pe_o, (pe1.shape[0], *pe_o.shape[1:]))
         fine_atten = self.fine_point_matching(
             pe1, tr["dense_fm"], tr["geo_m"], tr["fps_idx_m"],
             pe_o, tr["dense_fo"], tr["geo_o"], tr["fps_idx_o"])[-1]

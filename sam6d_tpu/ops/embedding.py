@@ -29,6 +29,41 @@ def sinusoidal_embedding(indices: jnp.ndarray, d_model: int) -> jnp.ndarray:
     return emb.reshape(*indices.shape, d_model)
 
 
+def sinusoid_phase_tables(d_model: int, scale: float = 1.0):
+    """Interleaved-[sin, cos] embedding as ONE sin: emb[..., 2i] =
+    sin(x*div_i), emb[..., 2i+1] = cos(x*div_i) = sin(x*div_i + pi/2), so
+    emb = sin(x[..., None] * div2 + phase) with div2 = repeat(div, 2) and
+    phase = tile([0, pi/2]). Bit-compatible layout with
+    `sinusoidal_embedding` without the (..., d/2, 2)-stack + reshape
+    shuffles (TPU: those cost a relayout of the minor dims; the fused form
+    is a single broadcasted FMA + sin in the natural layout). `scale`
+    folds a multiplicative index factor (e.g. 1/sigma_d) into the table.
+    """
+    if d_model % 2 != 0:
+        raise ValueError(f"odd d_model: {d_model}")
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * (-np.log(10000.0) / d_model))
+    div2 = np.repeat(div * scale, 2).astype(np.float32)
+    phase = np.tile(np.array([0.0, np.pi / 2], np.float64),
+                    d_model // 2).astype(np.float32)
+    return jnp.asarray(div2), jnp.asarray(phase)
+
+
+def pairwise_planar_diffs(points: jnp.ndarray):
+    """points (B, N, 3) -> per-component pairwise difference maps
+    (ax, ay, az), each (B, N, M) with a*[b, n, m] = p[b, m] - p[b, n].
+
+    TPU layout note: keeping the coordinate axis as three separate (B, N, M)
+    arrays (M in lanes) instead of one (B, N, M, 3) tensor (3 in lanes, 42x
+    tile waste) is what makes the geometric embedding bandwidth-clean.
+    """
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+    ax = px[:, None, :] - px[:, :, None]
+    ay = py[:, None, :] - py[:, :, None]
+    az = pz[:, None, :] - pz[:, :, None]
+    return ax, ay, az
+
+
 def geometric_embedding_indices(
     points: jnp.ndarray, sigma_d: float, sigma_a: float, angle_k: int
 ):

@@ -94,10 +94,9 @@ def run_demo(
     model_points = mesh.sample(cfg.pem.n_sample_model_point,
                                np.random.RandomState(0)).astype(np.float32) / 1000.0
     tem = pem.load_template_views(tdir)
-    dense_po, dense_fo, pe_o = pem.onboard_templates(tem)
+    templates = pem.onboard_templates(tem)
     results, _ = pem.run_frame(rgb, depth, K, depth_scale, records,
-                               model_points, dense_po, dense_fo, pe_o,
-                               det_score_thresh)
+                               model_points, templates, det_score_thresh)
     out_path = os.path.join(output_dir, "sam6d_results", "detection_pem.json")
     with open(out_path, "w") as f:
         json.dump(results, f)

@@ -69,6 +69,9 @@ class PEMPipeline:
                 v, rgb, choose, pts, valid, method="extract_template_feats"))
         self._template_pe_jit = jax.jit(
             lambda v, po_n: self.net.apply(v, po_n, method="template_pe"))
+        self._template_trunk_jit = jax.jit(
+            lambda v, po_n, fo: self.net.apply(
+                v, po_n, fo, method="template_trunk"))
 
     def infer_batch(self, inputs: Dict[str, jnp.ndarray], seed: int = 0):
         """Public batched forward on prepared device inputs (the contract of
@@ -133,12 +136,16 @@ class PEMPipeline:
         po, fo = self._templates_jit(
             self.variables, jnp.asarray(tem["rgb"]),
             jnp.asarray(tem["choose"]), pts, valid)
-        # cache the pose-independent fine positional encoding of the
-        # normalized template cloud (halves the per-frame ball-query cost)
+        # cache every pose-independent template-side computation: the fine
+        # positional encoding (halves the per-frame ball-query cost) and the
+        # coarse trunk (FPS + geometric structure embedding, ~22 ms/frame)
         radius = jnp.max(jnp.linalg.norm(po, axis=-1))
-        pe_o = self._template_pe_jit(
-            self.variables, (po / (radius + 1e-6))[None])[0]
-        return po, fo, pe_o
+        po_n = (po / (radius + 1e-6))[None]
+        pe_o = self._template_pe_jit(self.variables, po_n)[0]
+        tc = self._template_trunk_jit(self.variables, po_n, fo[None])
+        return dict(dense_po=po, dense_fo=fo, pe_o=pe_o,
+                    sparse_po=tc["sparse_po"][0], sparse_fo=tc["sparse_fo"][0],
+                    fps_idx_o=tc["fps_idx_o"][0], geo_o=tc["geo_o"][0])
 
     # -------------------------------------------------------------- instances
 
@@ -150,14 +157,14 @@ class PEMPipeline:
         depth_scale: float,
         detections: List[Dict],
         model_points: np.ndarray,
-        dense_po: jnp.ndarray,
-        dense_fo: jnp.ndarray,
-        pe_o: jnp.ndarray = None,
+        templates: Dict[str, jnp.ndarray],
         det_score_thresh: float = 0.2,
         seed: int = 1,
     ):
-        """Score all detections of one frame. Returns list of result dicts
-        (aligned with the surviving input detections)."""
+        """Score all detections of one frame. `templates` is the
+        onboard_templates output (dense_po/dense_fo + cached pe_o and coarse
+        trunk). Returns list of result dicts (aligned with the surviving
+        input detections)."""
         c = self.cfg
         rng = np.random.RandomState(seed)
         whole_pts = np.asarray(depth_to_pointcloud(
@@ -192,6 +199,8 @@ class PEMPipeline:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
             return jnp.asarray(arr)
 
+        dense_po = templates["dense_po"]
+        dense_fo = templates["dense_fo"]
         inputs = dict(
             rgb=stack("rgb"),
             rgb_choose=stack("rgb_choose", np.int32),
@@ -200,8 +209,11 @@ class PEMPipeline:
             dense_po=jnp.broadcast_to(dense_po, (B, *dense_po.shape)),
             dense_fo=jnp.broadcast_to(dense_fo, (B, *dense_fo.shape)),
         )
-        if pe_o is not None:
-            inputs["pe_o"] = jnp.broadcast_to(pe_o, (B, *pe_o.shape))
+        # cached template-side arrays enter batch-1; the net broadcasts them
+        # lazily inside the traced program (no (B, ...) materialization)
+        for k in ("pe_o", "sparse_po", "sparse_fo", "fps_idx_o", "geo_o"):
+            if k in templates:
+                inputs[k] = templates[k][None]
         if self._batch_sharding is not None:
             inputs = {k: jax.device_put(x, self._batch_sharding)
                       for k, x in inputs.items()}
@@ -231,20 +243,17 @@ class PEMPipeline:
         depth_scale: float,
         detections: List[Dict],
         model_points_all: jnp.ndarray,
-        dense_po_all: jnp.ndarray,
-        dense_fo_all: jnp.ndarray,
-        pe_o_all: jnp.ndarray = None,
+        templates_all: Dict[str, jnp.ndarray],
         det_score_thresh: float = 0.2,
         seed: int = 1,
     ):
         """Multi-object frame: each detection carries an `object_id` index
-        into the stacked per-object template arrays
-        (model_points_all (O, M, 3), dense_po_all (O, N, 3),
-        dense_fo_all (O, N, C), pe_o_all (O, N, Ch)); the per-instance
-        templates are gathered ON DEVICE by object index, so one batched
-        PEM dispatch serves a mixed-object frame (the streaming serving
-        path — BASELINE config 5; the reference runs one object at a time,
-        run_inference_custom.py)."""
+        into the stacked per-object template arrays (model_points_all
+        (O, M, 3); `templates_all` maps each onboard_templates key to its
+        (O, ...) stack); the per-instance templates are gathered ON DEVICE
+        by object index, so one batched PEM dispatch serves a mixed-object
+        frame (the streaming serving path — BASELINE config 5; the
+        reference runs one object at a time, run_inference_custom.py)."""
         c = self.cfg
         rng = np.random.RandomState(seed)
         whole_pts = np.asarray(depth_to_pointcloud(
@@ -289,11 +298,12 @@ class PEMPipeline:
             rgb_choose=stack("rgb_choose", np.int32),
             pts=stack("pts"),
             model=jnp.take(model_points_all, oidx, axis=0),
-            dense_po=jnp.take(dense_po_all, oidx, axis=0),
-            dense_fo=jnp.take(dense_fo_all, oidx, axis=0),
+            dense_po=jnp.take(templates_all["dense_po"], oidx, axis=0),
+            dense_fo=jnp.take(templates_all["dense_fo"], oidx, axis=0),
         )
-        if pe_o_all is not None:
-            inputs["pe_o"] = jnp.take(pe_o_all, oidx, axis=0)
+        for k in ("pe_o", "sparse_po", "sparse_fo", "fps_idx_o", "geo_o"):
+            if k in templates_all:
+                inputs[k] = jnp.take(templates_all[k], oidx, axis=0)
         if self._batch_sharding is not None:
             inputs = {k: jax.device_put(x, self._batch_sharding)
                       for k, x in inputs.items()}
@@ -342,12 +352,12 @@ def run_demo_pem(
                                np.random.RandomState(0)) / 1000.0
 
     tem = pipe.load_template_views(os.path.join(output_dir, "templates"))
-    dense_po, dense_fo, pe_o = pipe.onboard_templates(tem)
+    templates = pipe.onboard_templates(tem)
 
     dets = json.load(open(seg_path))
     results, _ = pipe.run_frame(rgb, depth, K, depth_scale, dets,
                                 model_points.astype(np.float32),
-                                dense_po, dense_fo, pe_o, det_score_thresh)
+                                templates, det_score_thresh)
     os.makedirs(os.path.join(output_dir, "sam6d_results"), exist_ok=True)
     out_path = os.path.join(output_dir, "sam6d_results", "detection_pem.json")
     with open(out_path, "w") as f:

@@ -63,7 +63,10 @@ def test_export_pem_infer_matches_direct_apply(tmp_path):
                             platforms=("cpu",))
     runner = load_exported(str(tmp_path / "pem.bin"))
     out = runner(inputs, key)
-    ref = net.apply(variables, inputs, key)
+    # compare against the JIT-COMPILED program (the production contract):
+    # eager op-by-op dispatch can reassociate fp differently, which flips
+    # the coarse solver's discrete hypothesis argmax on tiny random configs
+    ref = jax.jit(lambda i, k: net.apply(variables, i, k))(inputs, key)
     for k in ("pred_R", "pred_t", "pred_pose_score"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=1e-4, err_msg=k)

@@ -68,14 +68,22 @@ def test_cached_template_pe_matches_on_the_fly(rng):
     pe_o = net.apply(v, inputs["dense_po"] / (radius + 1e-6),
                      method="template_pe")
 
+    # the coarse template trunk cached the same way (FPS + geo embedding of
+    # the normalized cloud) must also reproduce the on-the-fly outputs
+    tc = net.apply(v, inputs["dense_po"] / (radius + 1e-6),
+                   inputs["dense_fo"], method="template_trunk")
+
     out_fly = net.apply(v, inputs, key)
-    out_cached = net.apply(v, dict(inputs, pe_o=pe_o), key)
-    np.testing.assert_allclose(np.asarray(out_cached["pred_R"]),
-                               np.asarray(out_fly["pred_R"]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_cached["pred_t"]),
-                               np.asarray(out_fly["pred_t"]), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out_cached["pred_pose_score"]),
-                               np.asarray(out_fly["pred_pose_score"]), atol=1e-6)
+    for cached_inputs in (dict(inputs, pe_o=pe_o),
+                          dict(inputs, pe_o=pe_o, **tc)):
+        out_cached = net.apply(v, cached_inputs, key)
+        np.testing.assert_allclose(np.asarray(out_cached["pred_R"]),
+                                   np.asarray(out_fly["pred_R"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_cached["pred_t"]),
+                                   np.asarray(out_fly["pred_t"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_cached["pred_pose_score"]),
+                                   np.asarray(out_fly["pred_pose_score"]),
+                                   atol=1e-6)
 
 
 @pytest.mark.slow
