@@ -303,12 +303,15 @@ class SAMImageEncoder(nn.Module):
 # --------------------------------------------------------------- prompts
 
 class PromptEncoder(nn.Module):
-    """Point-prompt encoder (reference prompt_encoder.py). Only the point
-    path is exercised by the AMG pipeline; box/mask prompt embedding is
-    provided for API completeness."""
+    """Prompt encoder (reference prompt_encoder.py:16-170): point, box and
+    mask prompts. The AMG pipeline exercises only points; boxes (corner PE +
+    corner type embeddings, `_embed_boxes` :96-103) and mask inputs (the
+    `mask_downscaling` conv stack :51-59) complete the SamPredictor
+    surface."""
     embed_dim: int = 256
     input_image_size: Tuple[int, int] = (1024, 1024)
     image_embedding_size: Tuple[int, int] = (64, 64)
+    mask_in_chans: int = 16
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -321,6 +324,18 @@ class PromptEncoder(nn.Module):
             "not_a_point_embed", nn.initializers.normal(1.0), (1, self.embed_dim))
         self.no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (1, self.embed_dim))
+        # mask_downscaling: Conv(2,s2) LN2d GELU Conv(2,s2) LN2d GELU Conv(1)
+        c4 = self.mask_in_chans // 4
+        self.mask_conv1 = nn.Conv(c4, (2, 2), strides=(2, 2), padding="VALID",
+                                  dtype=self.dtype, name="mask_conv1")
+        self.mask_ln1 = LayerNorm2d(c4, dtype=self.dtype, name="mask_ln1")
+        self.mask_conv2 = nn.Conv(self.mask_in_chans, (2, 2), strides=(2, 2),
+                                  padding="VALID", dtype=self.dtype,
+                                  name="mask_conv2")
+        self.mask_ln2 = LayerNorm2d(self.mask_in_chans, dtype=self.dtype,
+                                    name="mask_ln2")
+        self.mask_conv3 = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype,
+                                  name="mask_conv3")
 
     def _pe(self, coords01):
         """Random-Fourier PE of [0,1]-normalized coords (..., 2) -> (..., C)."""
@@ -329,15 +344,18 @@ class PromptEncoder(nn.Module):
         c = 2.0 * np.pi * c
         return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 
-    def embed_points(self, points, labels):
+    def embed_points(self, points, labels, pad: bool = True):
         """points: (B, N, 2) pixel coords in the model input frame; labels:
-        (B, N) in {-1 pad, 0 neg, 1 pos}. Appends the AMG padding point.
-        Returns (B, N+1, C)."""
+        (B, N) in {-1 pad, 0 neg, 1 pos}. Appends the padding point unless
+        `pad=False` (reference pads only when no box accompanies the points,
+        prompt_encoder.py:149). Returns (B, N[+1], C)."""
         B = points.shape[0]
-        pad_pt = jnp.zeros((B, 1, 2), points.dtype)
-        pad_lb = -jnp.ones((B, 1), labels.dtype)
-        points = jnp.concatenate([points, pad_pt], axis=1) + 0.5
-        labels = jnp.concatenate([labels, pad_lb], axis=1)
+        if pad:
+            pad_pt = jnp.zeros((B, 1, 2), points.dtype)
+            pad_lb = -jnp.ones((B, 1), labels.dtype)
+            points = jnp.concatenate([points, pad_pt], axis=1)
+            labels = jnp.concatenate([labels, pad_lb], axis=1)
+        points = points + 0.5
         coords01 = points / jnp.array(
             [self.input_image_size[1], self.input_image_size[0]], points.dtype)
         pe = self._pe(coords01)
@@ -347,6 +365,25 @@ class PromptEncoder(nn.Module):
         emb = emb + jnp.where((labels == 0)[..., None], self.point_embeddings[0], 0.0)
         emb = emb + jnp.where((labels == 1)[..., None], self.point_embeddings[1], 0.0)
         return emb
+
+    def embed_boxes(self, boxes):
+        """boxes: (B, 4) xyxy pixel coords in the model input frame ->
+        (B, 2, C) corner embeddings (reference _embed_boxes :96-103)."""
+        coords = (boxes.astype(jnp.float32) + 0.5).reshape(-1, 2, 2)
+        coords01 = coords / jnp.array(
+            [self.input_image_size[1], self.input_image_size[0]], jnp.float32)
+        pe = self._pe(coords01)
+        corners = jnp.stack([self.point_embeddings[2],
+                             self.point_embeddings[3]])  # (2, C)
+        return pe + corners
+
+    def embed_masks(self, masks):
+        """masks: (B, 4*h, 4*w, 1) low-res mask logits (channels-last; the
+        reference mask_input_size is 4x the embedding grid) -> dense
+        embedding (B, h, w, C) via the mask_downscaling stack (:51-59)."""
+        h = nn.gelu(self.mask_ln1(self.mask_conv1(masks)), approximate=False)
+        h = nn.gelu(self.mask_ln2(self.mask_conv2(h)), approximate=False)
+        return self.mask_conv3(h)
 
     def dense_pe(self):
         """(H, W, C) grid positional encoding (get_dense_pe)."""
@@ -360,8 +397,24 @@ class PromptEncoder(nn.Module):
         h, w = self.image_embedding_size
         return jnp.broadcast_to(self.no_mask_embed[0], (h, w, self.embed_dim))
 
-    def __call__(self, points, labels):
-        return self.embed_points(points, labels), self.no_mask_dense()
+    def __call__(self, points=None, labels=None, boxes=None, masks=None):
+        """Full reference forward (:128-170): sparse embeddings from
+        points and/or boxes (points padded only when no boxes), dense from
+        the mask input or the no-mask embedding. Presence of each prompt
+        type is a trace-time (static) choice."""
+        parts = []
+        if points is not None:
+            parts.append(self.embed_points(points, labels,
+                                           pad=boxes is None))
+        if boxes is not None:
+            parts.append(self.embed_boxes(boxes))
+        assert parts, "at least one of points/boxes required"
+        sparse = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        if masks is not None:
+            dense = self.embed_masks(masks)
+        else:
+            dense = self.no_mask_dense()
+        return sparse, dense
 
 
 # ---------------------------------------------------------- mask decoder

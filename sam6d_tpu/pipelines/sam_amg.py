@@ -127,8 +127,12 @@ class SAMSegmentor:
         C = self.cfg.prompt_embed_dim
         enc = self.encoder.init(k1, jnp.zeros((1, self.cfg.img_size,
                                                self.cfg.img_size, 3)))
+        # init over every prompt type so the variable tree carries the box
+        # corner path and the mask_downscaling stack (checkpoint parity)
         pe = self.prompt_encoder.init(k2, jnp.zeros((1, 1, 2)),
-                                      jnp.ones((1, 1), jnp.int32))
+                                      jnp.ones((1, 1), jnp.int32),
+                                      jnp.zeros((1, 4)),
+                                      jnp.zeros((1, 4 * g, 4 * g, 1)))
         dec = self.mask_decoder.init(
             k3, jnp.zeros((g, g, C)), jnp.zeros((g, g, C)),
             jnp.zeros((1, 2, C)), jnp.zeros((g, g, C)))

@@ -82,6 +82,19 @@ def convert_sam_encoder(sd: Dict[str, np.ndarray], depth: int,
 
 def convert_sam_prompt_encoder(sd: Dict[str, np.ndarray]):
     p = "prompt_encoder"
+
+    def conv(idx):
+        # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
+        return {
+            "kernel": np.asarray(sd[f"{p}.mask_downscaling.{idx}.weight"])
+            .transpose(2, 3, 1, 0),
+            "bias": np.asarray(sd[f"{p}.mask_downscaling.{idx}.bias"]),
+        }
+
+    def ln(idx):
+        return {"weight": np.asarray(sd[f"{p}.mask_downscaling.{idx}.weight"]),
+                "bias": np.asarray(sd[f"{p}.mask_downscaling.{idx}.bias"])}
+
     return {
         "pe_gaussian": np.asarray(sd[f"{p}.pe_layer.positional_encoding_gaussian_matrix"]),
         "point_embeddings": np.concatenate(
@@ -89,6 +102,11 @@ def convert_sam_prompt_encoder(sd: Dict[str, np.ndarray]):
             axis=0),
         "not_a_point_embed": np.asarray(sd[f"{p}.not_a_point_embed.weight"]),
         "no_mask_embed": np.asarray(sd[f"{p}.no_mask_embed.weight"]),
+        # mask_downscaling Sequential indices: 0 conv, 1 LN2d, 3 conv,
+        # 4 LN2d, 6 conv (reference prompt_encoder.py:51-59)
+        "mask_conv1": conv(0), "mask_ln1": ln(1),
+        "mask_conv2": conv(3), "mask_ln2": ln(4),
+        "mask_conv3": conv(6),
     }
 
 

@@ -15,12 +15,23 @@ def test_sam_predictor_prompted(rng):
     pred = SAMPredictor(seg)
     img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
     pred.set_image(img)
-    masks, iou = pred.predict(np.array([[32.0, 24.0]]), np.array([1]))
+    g = seg.cfg.img_size // seg.cfg.patch_size
+    masks, iou, low = pred.predict(np.array([[32.0, 24.0]]), np.array([1]))
     assert masks.shape == (3, 48, 64)
     assert iou.shape == (3,)
-    m1, iou1 = pred.predict(np.array([[32.0, 24.0]]), np.array([1]),
-                            multimask_output=False, return_logits=True)
+    assert low.shape == (3, 4 * g, 4 * g)
+    m1, iou1, low1 = pred.predict(np.array([[32.0, 24.0]]), np.array([1]),
+                                  multimask_output=False, return_logits=True)
     assert m1.shape == (1, 48, 64) and m1.dtype == np.float32
+
+    # box prompt alone, and points+box+mask_input combined (reference
+    # predictor.py predict surface)
+    mb, ib, lowb = pred.predict(box=np.array([8.0, 8.0, 40.0, 40.0]))
+    assert mb.shape == (3, 48, 64)
+    mc, ic, _ = pred.predict(np.array([[32.0, 24.0]]), np.array([1]),
+                             box=np.array([8.0, 8.0, 40.0, 40.0]),
+                             mask_input=low1, multimask_output=False)
+    assert mc.shape == (1, 48, 64)
 
 
 def test_stage_timer_and_logbuffer():

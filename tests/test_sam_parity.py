@@ -51,6 +51,32 @@ def test_prompt_encoder_parity(rng):
     got_dense = pe.apply({"params": params}, method="dense_pe")
     np.testing.assert_allclose(np.asarray(got_dense), want_dense.numpy(), atol=2e-4)
 
+    # box corners (reference _embed_boxes)
+    boxes = (rng.rand(5, 4) * 64).astype(np.float32)
+    with torch.no_grad():
+        want_b = tref.embed_boxes(torch.from_numpy(boxes))
+    got_b = pe.apply({"params": params}, jnp.array(boxes), method="embed_boxes")
+    np.testing.assert_allclose(np.asarray(got_b), want_b.numpy(), atol=2e-4)
+
+    # mask_downscaling (reference _embed_masks); input 4x the (4, 4) grid
+    m = rng.randn(3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want_m = tref.embed_masks(torch.from_numpy(m)[:, None])
+    got_m = pe.apply({"params": params}, jnp.array(m[..., None]),
+                     method="embed_masks")
+    np.testing.assert_allclose(
+        np.asarray(got_m), want_m.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+    # full forward: points + boxes (no pad point) + mask input
+    with torch.no_grad():
+        want_pts = tref.embed_points(torch.from_numpy(pts), torch.from_numpy(lbl))
+    sparse, dense = pe.apply({"params": params}, jnp.array(pts),
+                             jnp.array(lbl), jnp.array(boxes),
+                             jnp.array(m[..., None]))
+    assert sparse.shape == (5, 1 + 2, 32)  # 1 point (unpadded) + 2 corners
+    np.testing.assert_allclose(np.asarray(sparse[:, 1:]), want_b.numpy(),
+                               atol=2e-4)
+
 
 def test_mask_decoder_parity(rng):
     tref = TorchMaskDecoder(dim=32, heads=4, mlp_dim=64).eval()

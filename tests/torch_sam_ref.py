@@ -143,13 +143,23 @@ class TorchSAMEncoder(nn.Module):
 
 
 class TorchPromptEncoder(nn.Module):
-    def __init__(self, dim=32, input_size=(64, 64)):
+    def __init__(self, dim=32, input_size=(64, 64), mask_in_chans=16):
         super().__init__()
         self.gauss = nn.Parameter(torch.randn(2, dim // 2))
         self.point_embeddings = nn.Parameter(torch.randn(4, dim))
         self.not_a_point = nn.Parameter(torch.randn(1, dim))
         self.no_mask = nn.Parameter(torch.randn(1, dim))
         self.input_size = input_size
+        # reference mask_downscaling (prompt_encoder.py:51-59)
+        self.mask_downscaling = nn.Sequential(
+            nn.Conv2d(1, mask_in_chans // 4, kernel_size=2, stride=2),
+            TorchLN2d(mask_in_chans // 4),
+            nn.GELU(),
+            nn.Conv2d(mask_in_chans // 4, mask_in_chans, kernel_size=2, stride=2),
+            TorchLN2d(mask_in_chans),
+            nn.GELU(),
+            nn.Conv2d(mask_in_chans, dim, kernel_size=1),
+        )
 
     def pe(self, coords01):
         c = 2 * coords01 - 1
@@ -171,6 +181,19 @@ class TorchPromptEncoder(nn.Module):
         emb[labels == 1] += self.point_embeddings[1]
         return emb
 
+    def embed_boxes(self, boxes):
+        # reference _embed_boxes (prompt_encoder.py:96-103)
+        coords = (boxes + 0.5).reshape(-1, 2, 2).clone()
+        coords[..., 0] /= self.input_size[1]
+        coords[..., 1] /= self.input_size[0]
+        emb = self.pe(coords)
+        emb[:, 0, :] += self.point_embeddings[2]
+        emb[:, 1, :] += self.point_embeddings[3]
+        return emb
+
+    def embed_masks(self, masks):  # (B, 1, H, W)
+        return self.mask_downscaling(masks)
+
     def dense_pe(self, size):
         h, w = size
         y = (torch.arange(h).float() + 0.5) / h
@@ -186,6 +209,10 @@ class TorchPromptEncoder(nn.Module):
         }
         for i in range(4):
             sd[f"prompt_encoder.point_embeddings.{i}.weight"] = self.point_embeddings[i:i + 1]
+        for i, m in enumerate(self.mask_downscaling):
+            if hasattr(m, "weight"):
+                sd[f"prompt_encoder.mask_downscaling.{i}.weight"] = m.weight
+                sd[f"prompt_encoder.mask_downscaling.{i}.bias"] = m.bias
         return {k: v.detach().numpy() for k, v in sd.items()}
 
 
