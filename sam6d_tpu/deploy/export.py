@@ -109,3 +109,83 @@ def export_pem_infer(cfg, variables, batch_size: int = 16,
     if path is not None:
         save_exported(data, path)
     return data
+
+
+def export_sam_decode(cfg, variables, num_prompts: int = 1,
+                      path: str | None = None,
+                      platforms: Sequence[str] = ("tpu",),
+                      dtype=jnp.float32) -> bytes:
+    """Export the SAM prompt-encoder + mask-decoder program — the scope of
+    the reference's ONNX deployment model (segment_anything/utils/onnx.py:17
+    SamOnnxModel: image embedding in, point/box prompts + mask input in,
+    masks + iou out).
+
+    The artifact takes (embedding (g, g, 256), points (P, N, 2) input-frame
+    pixel coords, labels (P, N), mask_input (P, 4g, 4g, 1), has_mask ())
+    and returns (masks (P, K, 4g, 4g) row-major low-res logits, iou (P, K)).
+    Box prompts enter as two labeled corner points (labels 2/3), exactly the
+    reference onnx model's packing. `has_mask` multiplies the mask-input
+    dense embedding against the no-mask embedding (the reference's
+    has_mask_input scalar), so one artifact serves both cases.
+    """
+    from ..models.sam import PromptEncoder, MaskDecoder
+
+    grid = cfg.img_size // cfg.patch_size
+    C = cfg.prompt_embed_dim
+    pe = PromptEncoder(embed_dim=C,
+                       input_image_size=(cfg.img_size, cfg.img_size),
+                       image_embedding_size=(grid, grid), dtype=dtype)
+    dec = MaskDecoder(transformer_dim=C, block_layout=True, block_masks=True,
+                      dtype=dtype)
+
+    def fn(embedding, points, labels, mask_input, has_mask):
+        dense_pe = pe.apply(variables["prompt_encoder"], method="dense_pe")
+        # reference onnx packing: corner labels 2/3 ride the point path, so
+        # embed sparse prompts with the point machinery (the padding point
+        # is appended automatically, matching the AMG/predictor point path)
+        sparse = pe.apply(variables["prompt_encoder"], points, labels,
+                          method="embed_points")
+        d_mask = pe.apply(variables["prompt_encoder"], mask_input,
+                          method="embed_masks")
+        d_none = pe.apply(variables["prompt_encoder"], method="no_mask_dense")
+        dense = has_mask * d_mask[0] + (1.0 - has_mask) * d_none
+        masks, iou = dec.apply(variables["mask_decoder"], embedding,
+                               dense_pe, sparse, dense)
+        P, K4, _ = masks.shape
+        m = masks.reshape(P, K4 // 4, 2, 2, grid, grid, 2, 2)
+        m = m.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(
+            P, K4 // 4, 4 * grid, 4 * grid)
+        return m, iou
+
+    example = (jnp.zeros((grid, grid, C), jnp.float32),
+               jnp.zeros((num_prompts, 1, 2), jnp.float32),
+               jnp.zeros((num_prompts, 1), jnp.int32),
+               jnp.zeros((num_prompts, 4 * grid, 4 * grid, 1), jnp.float32),
+               jnp.zeros((), jnp.float32))
+    data = export_fn(fn, example, platforms=platforms)
+    if path is not None:
+        save_exported(data, path)
+    return data
+
+
+def export_dinov2_describe(cfg, variables, batch: int = 16,
+                           path: str | None = None,
+                           platforms: Sequence[str] = ("tpu",),
+                           dtype=jnp.float32) -> bytes:
+    """Export the DINOv2 descriptor program: normalized 224-crops in,
+    (cls (B, C), patch (B, N, C)) descriptors out — the serving artifact
+    for template onboarding / proposal description."""
+    from ..models.dinov2 import DINOv2
+
+    net = DINOv2(img_size=cfg.img_size, patch_size=cfg.patch_size,
+                 embed_dim=cfg.embed_dim, depth=cfg.depth,
+                 num_heads=cfg.num_heads, dtype=dtype)
+
+    def fn(crops):
+        return net.apply(variables, crops)
+
+    example = (jnp.zeros((batch, cfg.img_size, cfg.img_size, 3), jnp.float32),)
+    data = export_fn(fn, example, platforms=platforms)
+    if path is not None:
+        save_exported(data, path)
+    return data

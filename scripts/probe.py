@@ -213,6 +213,209 @@ def exp_encmlp():
     _log(f"encmlp: {flops/sec/1e12:.1f} TF/s")
 
 
+# -------------------------------------------------------------------- geobits
+
+@exp("geobits")
+def exp_geobits():
+    """Bisect the 18 ms geo embedding: indices/angles vs sin vs GEMMs."""
+    from sam6d_tpu.ops.embedding import (pairwise_planar_diffs,
+                                         sinusoid_phase_tables)
+    from sam6d_tpu.ops.geometry import pairwise_sq_distance
+
+    rng = np.random.RandomState(0)
+    B, N, C = 16, 197, 256
+    pts = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) - 0.5)
+    Wd = jnp.asarray(rng.rand(C, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+
+    def angles_only(i, pts):
+        p = pts + i * 1e-6
+        ax, ay, az = pairwise_planar_diffs(p)
+        d2 = ax * ax + ay * ay + az * az
+        d2s = pairwise_sq_distance(p, p)
+        _, knn = jax.lax.top_k(-d2s, 4)
+        knn = knn[..., 1:]
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        flat = knn.reshape(B, N * 3)
+        kx = jnp.take_along_axis(px, flat, 1).reshape(B, N, 3)
+        ky = jnp.take_along_axis(py, flat, 1).reshape(B, N, 3)
+        kz = jnp.take_along_axis(pz, flat, 1).reshape(B, N, 3)
+        rx, ry, rz = kx - px[..., None], ky - py[..., None], kz - pz[..., None]
+        acc = jnp.sqrt(d2)
+        for kk in range(3):
+            rxe, rye, rze = (rx[..., kk:kk+1], ry[..., kk:kk+1], rz[..., kk:kk+1])
+            cx = rye * az - rze * ay
+            cy = rze * ax - rxe * az
+            cz = rxe * ay - rye * ax
+            sv = jnp.sqrt(cx*cx + cy*cy + cz*cz)
+            cv = rxe*ax + rye*ay + rze*az + 0.0
+            acc = acc + jnp.arctan2(sv, cv)
+        return acc
+
+    div, phase = sinusoid_phase_tables(C, 5.0)
+    ang = jnp.asarray(rng.rand(B, N, N).astype(np.float32))
+
+    def sin_only(i, ang):
+        return jnp.sin((ang + i * 1e-6)[..., None] * div + phase)
+
+    def sin_gemm(i, ang):
+        s = jnp.sin((ang + i * 1e-6)[..., None] * div + phase)
+        return s.astype(jnp.bfloat16) @ Wd
+
+    def sin_bf16(i, ang):
+        a16 = (ang + i * 1e-6)[..., None].astype(jnp.bfloat16)
+        return jnp.sin(a16 * div.astype(jnp.bfloat16)
+                       + phase.astype(jnp.bfloat16)) @ Wd
+
+    for name, fn, arg in (("geobits.angles", angles_only, pts),
+                          ("geobits.sin", sin_only, ang),
+                          ("geobits.sin_gemm", sin_gemm, ang),
+                          ("geobits.sin_bf16_gemm", sin_bf16, ang)):
+        f = map8(fn, arg)
+        report(name, timed(lambda i, f=f, a=arg: f(a + i * 1e-7)))
+
+
+# ------------------------------------------------------------------- gather2
+
+@exp("gather2")
+def exp_gather2():
+    """Gather alternatives at fine-PE shapes: XLA row gather vs one-hot
+    matmul (chunked) vs sorted-index gather."""
+    rng = np.random.RandomState(0)
+    B, N, S, C = 16, 2048, 96, 32
+    U = jnp.asarray(rng.rand(B, N, C).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, N, (B, N, S)).astype(np.int32))
+
+    from sam6d_tpu.ops.ball_query import group_points
+
+    g = map8(lambda i, f, ix: group_points(f + i * 1e-6, ix), U, idx)
+    report("gather2.rowgather", timed(lambda i: g(U + i * 1e-7, idx)))
+
+    def onehot_chunked(i, U, idx):
+        Ui = U + i * 1e-6
+        flat = idx.reshape(B, N * S)
+
+        def chunk(c):
+            sl = jax.lax.dynamic_slice_in_dim(flat, c * 8192, 8192, axis=1)
+            oh = (sl[..., None] == jnp.arange(N, dtype=jnp.int32)
+                  ).astype(jnp.bfloat16)
+            return jnp.einsum("bmn,bnc->bmc", oh, Ui)
+        out = jax.lax.map(chunk, jnp.arange(N * S // 8192))
+        return out
+
+    f_oh = map8(onehot_chunked, U, idx)
+    report("gather2.onehot", timed(lambda i: f_oh(U + i * 1e-7, idx)))
+
+    # sorted indices (spatial locality surrogate): does ordering matter?
+    idx_sorted = jnp.sort(idx, axis=-1)
+    g2 = map8(lambda i, f, ix: group_points(f + i * 1e-6, ix), U, idx_sorted)
+    report("gather2.sortedgather", timed(lambda i: g2(U + i * 1e-7, idx_sorted)))
+
+    # fewer, wider rows: same payload as (B, N, S) x 32ch but S/4 rows of 128ch
+    U4 = jnp.asarray(rng.rand(B, N, 4 * C).astype(np.float32)).astype(jnp.bfloat16)
+    idx4 = idx[..., ::4]
+    g3 = map8(lambda i, f, ix: group_points(f + i * 1e-6, ix), U4, idx4)
+    report("gather2.quarter_rows_128ch", timed(lambda i: g3(U4 + i * 1e-7, idx4)))
+
+
+# ------------------------------------------------------------------- pembits
+
+@exp("pembits")
+def exp_pembits():
+    """Stage-level bisection of the cached PEM forward (B=16)."""
+    from sam6d_tpu.core.config import PEMConfig
+    from sam6d_tpu.models.pem import PEMNet
+    from sam6d_tpu.core.params import cast_float_params
+    from sam6d_tpu.pose.solvers import compute_coarse_Rt, compute_fine_Rt
+
+    cfg = PEMConfig()
+    net = PEMNet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    B, S, NF, NC = 16, cfg.img_size, cfg.fine_npoint, cfg.coarse_npoint
+    base = dict(
+        rgb=jnp.asarray(rng.rand(B, S, S, 3).astype(np.float32)),
+        rgb_choose=jnp.asarray(rng.randint(0, S * S, (B, NF))),
+        pts=jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.1),
+        model=jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32) * 0.1),
+        dense_po=jnp.asarray((rng.rand(B, NF, 3).astype(np.float32) - 0.5) * 0.1),
+        dense_fo=jnp.asarray(rng.rand(B, NF, cfg.vit.out_dim).astype(np.float32)),
+    )
+    v = cast_float_params(init_like(lambda: net.init(
+        {"params": jax.random.PRNGKey(0)}, base, jax.random.PRNGKey(0))),
+        jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    def stage(name, fn, *args):
+        f = jax.jit(lambda *a: jnp.sum(jnp.asarray(
+            jax.tree_util.tree_leaves(fn(*a))[0], jnp.float32)))
+        report(name, timed(lambda i: f(*args)), per=1)
+
+    # trunk: image feats
+    stage("pembits.imgfeats",
+          lambda v, rgb, ch: net.apply(v, rgb, ch, method="extract_img_feats"),
+          v, base["rgb"], base["rgb_choose"])
+    # geo embedding (one call)
+    from sam6d_tpu.models.geo_transformer import GeometricStructureEmbedding
+    geo_mod = GeometricStructureEmbedding(hidden_dim=256, dtype=jnp.bfloat16)
+    pts197 = jnp.asarray(rng.rand(B, NC + 1, 3).astype(np.float32) - 0.5)
+    stage("pembits.geo",
+          lambda v, p: geo_mod.apply(
+              {"params": v["params"]["geo_embedding"]}, p),
+          v, pts197)
+    # coarse heads
+    from sam6d_tpu.models.coarse_matching import CoarsePointMatching
+    cm = cfg.coarse
+    coarse_mod = CoarsePointMatching(
+        nblock=cm.nblock, input_dim=cm.input_dim, hidden_dim=cm.hidden_dim,
+        out_dim=cm.out_dim, num_heads=cm.num_heads, temp=cm.temp,
+        normalize_feat=cm.normalize_feat, dtype=jnp.bfloat16)
+    fm = jnp.asarray(rng.rand(B, NC, cfg.coarse.input_dim).astype(np.float32)).astype(jnp.bfloat16)
+    geo = jnp.asarray(rng.rand(B, NC + 1, NC + 1, 256).astype(np.float32)).astype(jnp.bfloat16)
+    stage("pembits.coarseheads",
+          lambda v, fm, geo: coarse_mod.apply(
+              {"params": v["params"]["coarse_point_matching"]}, fm, geo, fm, geo)[-1],
+          v, fm, geo)
+    # coarse solver
+    atten = jnp.asarray(rng.rand(B, NC + 1, NC + 1).astype(np.float32))
+    sp = jnp.asarray(rng.rand(B, NC, 3).astype(np.float32))
+    mdl = jnp.asarray(rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32))
+    f_solver = jax.jit(lambda k, a, p1, p2, m: jnp.sum(compute_coarse_Rt(
+        k, a, p1, p2, m, cfg.coarse.nproposal1, cfg.coarse.nproposal2)[0]))
+    report("pembits.coarsesolver",
+           timed(lambda i: f_solver(jax.random.fold_in(key, i), atten, sp, sp, mdl)),
+           per=1)
+    # fine PE (pe1 per frame)
+    from sam6d_tpu.models.fine_matching import (PositionalEncoding,
+                                                FinePointMatching)
+    fmc = cfg.fine
+    pe_mod = PositionalEncoding(
+        fmc.hidden_dim, fmc.pe_radius1, fmc.pe_radius2,
+        fmc.pe_nsample1, fmc.pe_nsample2, dtype=jnp.bfloat16)
+    ptsf = jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.4 - 0.2)
+    stage("pembits.finepe",
+          lambda v, p: pe_mod.apply({"params": v["params"]["fine_pe"]}, p),
+          v, ptsf)
+    # fine heads
+    fine_mod = FinePointMatching(
+        nblock=fmc.nblock, input_dim=fmc.input_dim, hidden_dim=fmc.hidden_dim,
+        out_dim=fmc.out_dim, num_heads=fmc.num_heads, temp=fmc.temp,
+        normalize_feat=fmc.normalize_feat,
+        focusing_factor=fmc.focusing_factor, dtype=jnp.bfloat16)
+    pe = jnp.asarray(rng.rand(B, NF, 256).astype(np.float32)).astype(jnp.bfloat16)
+    ff = jnp.asarray(rng.rand(B, NF, cfg.fine.input_dim).astype(np.float32)).astype(jnp.bfloat16)
+    fidx = jnp.asarray(rng.randint(0, NF, (B, NC)).astype(np.int32))
+    stage("pembits.fineheads",
+          lambda v, pe, ff, geo, fidx: fine_mod.apply(
+              {"params": v["params"]["fine_point_matching"]},
+              pe, ff, geo, fidx, pe, ff, geo, fidx)[-1],
+          v, pe, ff, geo, fidx)
+    # fine solver
+    attf = jnp.asarray(rng.rand(B, NF + 1, NF + 1).astype(np.float32))
+    f_fine = jax.jit(lambda a, p1, p2, m: jnp.sum(compute_fine_Rt(
+        a, p1, p2, m, dis_thres=cfg.dis_thres)[0]))
+    report("pembits.finesolver",
+           timed(lambda i: f_fine(attf + i * 1e-7, ptsf, ptsf, mdl)), per=1)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args or "--list" in args:
