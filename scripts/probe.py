@@ -392,7 +392,9 @@ def exp_pembits():
         fmc.pe_nsample1, fmc.pe_nsample2, dtype=jnp.bfloat16)
     ptsf = jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.4 - 0.2)
     stage("pembits.finepe",
-          lambda v, p: pe_mod.apply({"params": v["params"]["fine_pe"]}, p),
+          lambda v, p: pe_mod.apply(
+              {"params": v["params"]["fine_pe"],
+               "batch_stats": v["batch_stats"]["fine_pe"]}, p),
           v, ptsf)
     # fine heads
     fine_mod = FinePointMatching(
