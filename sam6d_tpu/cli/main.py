@@ -136,20 +136,29 @@ def cmd_stream(args):
     if args.max_frames:
         rgbs = rgbs[:args.max_frames]
     out_path = os.path.join(args.output_dir, "results.jsonl")
-    with open(out_path, "w") as f:
+
+    def frames():
+        # PNG decode runs in the prefetch thread, overlapping device compute
         for rp in rgbs:
             dp = os.path.join(
                 os.path.dirname(rp),
                 os.path.basename(rp).replace("rgb", "depth", 1))
             rgb = np.array(Image.open(rp).convert("RGB"))
             depth = np.array(Image.open(dp)).astype(np.float32)
+            yield rp, rgb, depth
+
+    from ..data.prefetch import iter_prefetched
+    with open(out_path, "w") as f:
+        for rp, rgb, depth in iter_prefetched(frames(), depth=2):
             res = stream.process_frame(rgb, depth, K, depth_scale)
             f.write(_json.dumps(dict(frame=os.path.basename(rp),
                                      poses=res["poses"],
                                      ms=round(res["ms"], 1))) + "\n")
     tp = stream.throughput()
+    tail = (f", p50 {tp['p50_ms']} / p95 {tp['p95_ms']} ms"
+            if "p95_ms" in tp else "")
     print(f"{tp['frames']} frames, {tp['poses']} poses, "
-          f"{tp['ms_per_frame']} ms/frame -> {out_path}")
+          f"{tp['ms_per_frame']} ms/frame{tail} -> {out_path}")
 
 
 def cmd_pem(args):

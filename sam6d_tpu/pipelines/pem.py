@@ -176,7 +176,9 @@ class PEMPipeline:
         for det in detections:
             if det["score"] <= det_score_thresh:
                 continue
-            mask = rle_decode_coco(det["segmentation"])
+            mask = det.get("mask")
+            if mask is None:  # streaming passes the raw mask, skipping a decode
+                mask = rle_decode_coco(det["segmentation"])
             mask = np.logical_and(mask > 0, depth > 0)
             inst = prepare_instance(rgb, whole_pts, mask, radius, c.img_size,
                                     c.n_sample_observed_point, rng,
@@ -266,7 +268,9 @@ class PEMPipeline:
             if det["score"] <= det_score_thresh:
                 continue
             oid = int(det["object_id"])
-            mask = rle_decode_coco(det["segmentation"])
+            mask = det.get("mask")
+            if mask is None:  # streaming passes the raw mask, skipping a decode
+                mask = rle_decode_coco(det["segmentation"])
             mask = np.logical_and(mask > 0, depth > 0)
             inst = prepare_instance(rgb, whole_pts, mask, float(radii[oid]),
                                     c.img_size, c.n_sample_observed_point,

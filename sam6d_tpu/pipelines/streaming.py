@@ -40,6 +40,7 @@ class MultiObjectStream:
         self._objs: List[Dict] = []
         self._finalized = False
         self.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
+        self._frame_s: List[float] = []  # steady-state per-frame latencies
 
     # ------------------------------------------------------------ onboarding
 
@@ -116,6 +117,7 @@ class MultiObjectStream:
                 score=float(result["scores"][i]),
                 bbox=[float(x) for x in result["boxes"][i]],
                 segmentation=rle_encode_coco(mask),
+                mask=mask,  # raw mask rides along so PEM skips the decode
             ))
         poses, _ = self.pem.run_frame_multi(
             rgb, depth, K, depth_scale, dets,
@@ -124,6 +126,8 @@ class MultiObjectStream:
         dt = time.time() - t0
         if self.stats["frames"] == 0:
             self.stats["first_frame_s"] = dt  # includes the jit compiles
+        else:
+            self._frame_s.append(dt)
         self.stats["frames"] += 1
         self.stats["detections"] += len(dets)
         self.stats["poses"] += len(poses)
@@ -145,4 +149,18 @@ class MultiObjectStream:
         else:
             out["fps"] = 0.0
             out["ms_per_frame"] = 0.0
+        # latency SLO percentiles over the steady-state frames (serving
+        # contracts are per-frame tail latency, not throughput)
+        if self._frame_s:
+            ms = np.sort(np.asarray(self._frame_s)) * 1e3
+            out["p50_ms"] = round(float(np.percentile(ms, 50)), 2)
+            out["p95_ms"] = round(float(np.percentile(ms, 95)), 2)
+            out["p99_ms"] = round(float(np.percentile(ms, 99)), 2)
         return out
+
+    def check_latency_slo(self, p95_budget_ms: float) -> Dict:
+        """Assertable SLO summary: steady-state p95 against a budget."""
+        tp = self.throughput()
+        p95 = tp.get("p95_ms")
+        return dict(p95_ms=p95, budget_ms=p95_budget_ms,
+                    ok=p95 is not None and p95 <= p95_budget_ms)
