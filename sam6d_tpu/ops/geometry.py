@@ -52,20 +52,24 @@ def _jacobi_rotation(app, aqq, apq):
     return c, s
 
 
-def symeig3x3(A: jnp.ndarray):
-    """Batched eigendecomposition of symmetric (..., 3, 3) via cyclic Jacobi.
+def _symeig3x3_planar(a00, a01, a02, a11, a12, a22):
+    """Planar cyclic-Jacobi eigensolver core.
 
-    Scatter-free: the six unique components and nine eigenvector entries are
-    tracked as separate arrays, so every rotation is pure elementwise VPU
-    work (the naive `.at[...]` formulation emits ~150 scatter kernels that
-    dominate the pose-hypothesis solver).
+    Operates entirely on per-component batch planes — never a (..., 3, 3)
+    tensor. TPU layout note: minor-dim-3 tensors tile to 128 lanes with 3
+    used (42x bandwidth waste), which made the packed formulation dominate
+    the 96k-hypothesis coarse solver (15.8 ms); the planar chain is pure
+    full-lane VPU work. Eigen-ORDERING uses a 3-element compare/swap
+    network on planes instead of argsort + take_along_axis for the same
+    reason.
 
-    Returns (eigvals (..., 3) ascending, eigvecs (..., 3, 3) columns).
+    Returns (w ascending [3 planes], v columns [3][3] planes with
+    v[i][j] = i-th component of the j-th eigenvector).
     """
-    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    a = {(i, j): A[..., i, j] for i in range(3) for j in range(i, 3)}
-    v = [[jnp.broadcast_to(jnp.asarray(float(i == j), A.dtype), A.shape[:-2])
-          for j in range(3)] for i in range(3)]
+    a = {(0, 0): a00, (0, 1): a01, (0, 2): a02,
+         (1, 1): a11, (1, 2): a12, (2, 2): a22}
+    one = jnp.ones_like(a00)
+    v = [[one * float(i == j) for j in range(3)] for i in range(3)]
 
     def comp(i, j):
         return a[(i, j)] if i <= j else a[(j, i)]
@@ -86,54 +90,130 @@ def symeig3x3(A: jnp.ndarray):
                 v[i][p] = c * vp - s * vq
                 v[i][q] = s * vp + c * vq
 
-    w = jnp.stack([a[(0, 0)], a[(1, 1)], a[(2, 2)]], axis=-1)
+    w = [a[(0, 0)], a[(1, 1)], a[(2, 2)]]
+
+    def cswap(i, j):
+        swap = w[i] > w[j]
+        w[i], w[j] = (jnp.where(swap, w[j], w[i]),
+                      jnp.where(swap, w[i], w[j]))
+        for r_ in range(3):
+            v[r_][i], v[r_][j] = (jnp.where(swap, v[r_][j], v[r_][i]),
+                                  jnp.where(swap, v[r_][i], v[r_][j]))
+
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+    return w, v
+
+
+def symeig3x3(A: jnp.ndarray):
+    """Batched eigendecomposition of symmetric (..., 3, 3) via cyclic Jacobi.
+
+    Packs/unpacks only at the boundary; see _symeig3x3_planar for the TPU
+    layout rationale. Returns (eigvals (..., 3) ascending, eigvecs
+    (..., 3, 3) columns).
+    """
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    w, v = _symeig3x3_planar(A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+                             A[..., 1, 1], A[..., 1, 2], A[..., 2, 2])
+    wv = jnp.stack(w, axis=-1)
     V = jnp.stack([jnp.stack(row, axis=-1) for row in v], axis=-2)
-    order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
-    return w, V
+    return wv, V
 
 
 def svd3x3(H: jnp.ndarray):
     """Batched SVD of (..., 3, 3): H = U diag(S) V^T, S descending.
 
-    Via eigendecomposition of H^T H (right vectors), U from H V / S with
-    a fallback orthonormal completion for (near-)rank-deficient H.
+    Via eigendecomposition of H^T H (right vectors), U from H V / S with a
+    fallback orthonormal completion for (near-)rank-deficient H. Thin
+    wrapper over the planar core (_svd3x3_planar) — packing only at the
+    boundary keeps the 96k-hypothesis batches off minor-dim-3 layouts.
     """
-    HtH = jnp.einsum("...ji,...jk->...ik", H, H)
-    w, V = symeig3x3(HtH)
-    # descending order
-    w = w[..., ::-1]
-    V = V[..., :, ::-1]
-    S = jnp.sqrt(jnp.maximum(w, 0.0))
-    W = jnp.einsum("...ij,...jk->...ik", H, V)  # columns are s_i * u_i
-    scale = jnp.maximum(S[..., 0:1], 1e-12)  # largest singular value
-
-    def _normalize_or(col, fallback, tol):
-        n = jnp.linalg.norm(col, axis=-1, keepdims=True)
-        ok = n > tol
-        return jnp.where(ok, col / jnp.maximum(n, 1e-30), fallback)
-
-    e0 = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], H.dtype), W[..., :, 0].shape)
-    u0 = _normalize_or(W[..., :, 0], e0, 1e-12)
-    # fallback for u1: any unit vector orthogonal to u0
-    alt = jnp.cross(u0, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], H.dtype), u0.shape))
-    altn = jnp.linalg.norm(alt, axis=-1, keepdims=True)
-    alt2 = jnp.cross(u0, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], H.dtype), u0.shape))
-    alt = jnp.where(altn > 1e-6, alt, alt2)
-    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), 1e-30)
-    w1 = W[..., :, 1]
-    w1 = w1 - jnp.sum(u0 * w1, axis=-1, keepdims=True) * u0
-    u1 = _normalize_or(w1, alt, 1e-6 * scale)
-    # u2: keep the true direction (preserves sign/det) unless s2 is negligible,
-    # in which case the cross-product completion is exact up to sign and the
-    # sign contributes nothing to the reconstruction.
-    w2 = W[..., :, 2]
-    w2 = w2 - jnp.sum(u0 * w2, axis=-1, keepdims=True) * u0
-    w2 = w2 - jnp.sum(u1 * w2, axis=-1, keepdims=True) * u1
-    u2 = _normalize_or(w2, jnp.cross(u0, u1), 1e-5 * scale)
-    U = jnp.stack([u0, u1, u2], axis=-1)
+    h = [[H[..., i, j] for j in range(3)] for i in range(3)]
+    u, s, v = _svd3x3_planar(h)
+    U = jnp.stack([jnp.stack(row, axis=-1) for row in u], axis=-2)
+    V = jnp.stack([jnp.stack(row, axis=-1) for row in v], axis=-2)
+    S = jnp.stack(s, axis=-1)
     return U, S, V
+
+
+def _svd3x3_planar(h):
+    """Planar SVD core: `h[i][j]` are the (..., ) component planes of a 3x3
+    batch; returns (u, s, v) with u[i][j] / v[i][j] = component i of column
+    j and s = [s0, s1, s2] descending. Same algorithm as svd3x3 (eig of
+    H^T H + orthonormal completion), kept off (..., 3, 3) layouts — see
+    _symeig3x3_planar for why."""
+    def coldot(a, ci, cj):
+        return (a[0][ci] * a[0][cj] + a[1][ci] * a[1][cj]
+                + a[2][ci] * a[2][cj])
+
+    m00 = coldot(h, 0, 0)
+    m01 = coldot(h, 0, 1)
+    m02 = coldot(h, 0, 2)
+    m11 = coldot(h, 1, 1)
+    m12 = coldot(h, 1, 2)
+    m22 = coldot(h, 2, 2)
+    w, va = _symeig3x3_planar(m00, m01, m02, m11, m12, m22)  # ascending
+    # descending singulars + matching right-vector columns
+    s = [jnp.sqrt(jnp.maximum(w[2], 0.0)),
+         jnp.sqrt(jnp.maximum(w[1], 0.0)),
+         jnp.sqrt(jnp.maximum(w[0], 0.0))]
+    v = [[va[i][2], va[i][1], va[i][0]] for i in range(3)]
+
+    # W = H V (columns are s_j * u_j)
+    Wc = [[h[i][0] * v[0][j] + h[i][1] * v[1][j] + h[i][2] * v[2][j]
+           for j in range(3)] for i in range(3)]
+    scale = jnp.maximum(s[0], 1e-12)
+
+    def norm3(x, y, z):
+        return jnp.sqrt(x * x + y * y + z * z)
+
+    def normalize_or(x, y, z, fx, fy, fz, tol):
+        n = norm3(x, y, z)
+        ok = n > tol
+        inv = 1.0 / jnp.maximum(n, 1e-30)
+        return (jnp.where(ok, x * inv, fx), jnp.where(ok, y * inv, fy),
+                jnp.where(ok, z * inv, fz))
+
+    one = jnp.ones_like(s[0])
+    zero = jnp.zeros_like(s[0])
+    u0 = normalize_or(Wc[0][0], Wc[1][0], Wc[2][0], one, zero, zero, 1e-12)
+
+    def cross(ax, ay, az, bx, by, bz):
+        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+    # fallback for u1: unit vector orthogonal to u0
+    ax_, ay_, az_ = cross(*u0, zero, zero, one)
+    altn = norm3(ax_, ay_, az_)
+    bx_, by_, bz_ = cross(*u0, zero, one, zero)
+    ok = altn > 1e-6
+    ax_, ay_, az_ = (jnp.where(ok, ax_, bx_), jnp.where(ok, ay_, by_),
+                     jnp.where(ok, az_, bz_))
+    n = jnp.maximum(norm3(ax_, ay_, az_), 1e-30)
+    alt = (ax_ / n, ay_ / n, az_ / n)
+
+    d0 = Wc[0][1] * u0[0] + Wc[1][1] * u0[1] + Wc[2][1] * u0[2]
+    w1x, w1y, w1z = (Wc[0][1] - d0 * u0[0], Wc[1][1] - d0 * u0[1],
+                     Wc[2][1] - d0 * u0[2])
+    u1 = normalize_or(w1x, w1y, w1z, *alt, 1e-6 * scale)
+
+    d0 = Wc[0][2] * u0[0] + Wc[1][2] * u0[1] + Wc[2][2] * u0[2]
+    d1 = Wc[0][2] * u1[0] + Wc[1][2] * u1[1] + Wc[2][2] * u1[2]
+    w2x, w2y, w2z = (Wc[0][2] - d0 * u0[0] - d1 * u1[0],
+                     Wc[1][2] - d0 * u0[1] - d1 * u1[1],
+                     Wc[2][2] - d0 * u0[2] - d1 * u1[2])
+    cx, cy, cz = cross(*u0, *u1)
+    u2 = normalize_or(w2x, w2y, w2z, cx, cy, cz, 1e-5 * scale)
+
+    u = [[u0[i], u1[i], u2[i]] for i in range(3)]
+    return u, s, v
+
+
+def _det3_planar(m):
+    """Determinant from column-plane layout m[i][j] (component i, col j)."""
+    return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
 
 
 def weighted_procrustes(
@@ -148,27 +228,39 @@ def weighted_procrustes(
     src_points, ref_points: (..., N, 3); weights: (..., N) or None.
     Matches reference weighted_procrustes (model_utils.py:287-363):
     H = src_c^T (w * ref_c);  R = V diag(1,1,det) U^T;  t = ref_c0 - R src_c0.
+
+    Computed entirely on per-component batch planes: at the coarse solver's
+    96k-hypothesis batch, (..., 3, 3)-shaped elementwise work tiles to 128
+    lanes with 3 used and ran 6x slower than this formulation (15.8 vs
+    ~2.5 ms measured); packing happens once at the exit.
     """
     if weights is None:
         weights = jnp.ones(src_points.shape[:-1], dtype=src_points.dtype)
     weights = jnp.where(weights < weight_thresh, 0.0, weights)
     weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + eps)
-    w = weights[..., None]
 
-    src_centroid = jnp.sum(src_points * w, axis=-2, keepdims=True)
-    ref_centroid = jnp.sum(ref_points * w, axis=-2, keepdims=True)
-    src_c = src_points - src_centroid
-    ref_c = ref_points - ref_centroid
+    # coordinate planes (..., N)
+    s = [src_points[..., c] for c in range(3)]
+    r = [ref_points[..., c] for c in range(3)]
+    sc = [jnp.sum(x * weights, axis=-1) for x in s]   # centroids (...,)
+    rc = [jnp.sum(x * weights, axis=-1) for x in r]
+    s = [x - c[..., None] for x, c in zip(s, sc)]
+    r = [x - c[..., None] for x, c in zip(r, rc)]
 
-    H = jnp.einsum("...nc,...nd->...cd", src_c, w * ref_c)
-    U, _, V = svd3x3(H)
-    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", V, U))
-    D = jnp.concatenate(
-        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
-        axis=-1,
-    )
-    R = jnp.einsum("...ic,...c,...jc->...ij", V, D, U)
-    t = ref_centroid[..., 0, :] - jnp.einsum("...ij,...j->...i", R, src_centroid[..., 0, :])
+    # H[c][d] = sum_n s_c[n] * w[n] * r_d[n]
+    h = [[jnp.sum(s[c] * weights * r[d], axis=-1) for d in range(3)]
+         for c in range(3)]
+    u, _, v = _svd3x3_planar(h)
+    # det(V U^T) = det(V) det(U), kept as a VALUE (~±1) like the reference
+    d = _det3_planar(v) * _det3_planar(u)
+
+    # R = V diag(1, 1, d) U^T  ->  R[i][j] = sum_c v[i][c] * D[c] * u[j][c]
+    Rp = [[v[i][0] * u[j][0] + v[i][1] * u[j][1] + d * v[i][2] * u[j][2]
+           for j in range(3)] for i in range(3)]
+    tp = [rc[i] - (Rp[i][0] * sc[0] + Rp[i][1] * sc[1] + Rp[i][2] * sc[2])
+          for i in range(3)]
+    R = jnp.stack([jnp.stack(row, axis=-1) for row in Rp], axis=-2)
+    t = jnp.stack(tp, axis=-1)
     return R, t
 
 

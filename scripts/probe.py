@@ -418,6 +418,265 @@ def exp_pembits():
            timed(lambda i: f_fine(attf + i * 1e-7, ptsf, ptsf, mdl)), per=1)
 
 
+# ------------------------------------------------------------------- maploop
+
+@exp("maploop")
+def exp_maploop():
+    """The XLA mid-trip-count loop pathology (r2 lever 4): identical
+    bodies cost ~2x/iter at ~8 trips vs 2 or 24+. Does lax.scan unroll
+    escape it?"""
+    rng = np.random.RandomState(0)
+    D = 1024
+    x = jnp.asarray(rng.rand(256, D).astype(np.float32)).astype(jnp.bfloat16)
+    W = jnp.asarray(rng.rand(D, D).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+
+    def body(c):
+        h = c
+        for _ in range(6):
+            h = jnp.tanh(h @ W)
+        return h
+
+    for trips in (2, 8, 24):
+        for unroll in (1, 2, 4):
+            if unroll > trips:
+                continue
+
+            def run(i, x, W, trips=trips, unroll=unroll):
+                def step(c, _):
+                    return body(c), None
+                out, _ = jax.lax.scan(step, x + i * 1e-6, None,
+                                      length=trips, unroll=unroll)
+                return out
+
+            f = map8(run, x, W)
+            sec = timed(lambda i: f(x + i * 1e-7, W))
+            report(f"maploop.t{trips}_u{unroll}", sec, per=8 * trips)
+
+
+# -------------------------------------------------------------------- encbits
+
+@exp("encbits")
+def exp_encbits():
+    """Decompose the SAM windowed block (25 windows x 196 tokens x 16 heads
+    x hd 80): where do the ~18.5 ms/28 blocks go, and what do candidate
+    reformulations of the rel-pos prep cost?"""
+    from sam6d_tpu.kernels.flash_attention import (
+        flash_attention_relpos, _fused_attention, _pad_axis, _round_up)
+
+    rng = np.random.RandomState(0)
+    B, heads, ws, hd = 25, 16, 14, 80
+    N = ws * ws
+    dim = heads * hd
+
+    def mk(*shape):
+        return jnp.asarray(rng.rand(*shape).astype(np.float32) * 0.1).astype(
+            jnp.bfloat16)
+
+    q = mk(B, heads, N, hd)
+    k = mk(B, heads, N, hd)
+    v = mk(B, heads, N, hd)
+    rel_h = mk(2 * ws - 1, hd)
+    rel_w = mk(2 * ws - 1, hd)
+
+    # 1. full windowed flash call (prep + kernel), per single block
+    f_full = map8(lambda i, q, k, v: flash_attention_relpos(
+        q + i * 1e-6, k, v, rel_h, rel_w, (ws, ws)), q, k, v)
+    report("encbits.flash_full", timed(lambda i: f_full(q + i * 1e-7, k, v)))
+
+    # 2. the thin-table einsum pair alone (current prep formulation)
+    idx = np.arange(ws)[:, None] - np.arange(ws)[None, :] + (ws - 1)
+    Rh = rel_h[jnp.asarray(idx)]
+    Rw = rel_w[jnp.asarray(idx)]
+
+    def prep(i, q):
+        qg = (q + i * 1e-6).reshape(B, heads, ws, ws, hd)
+        rel_h_q = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh)
+        rel_w_q = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw)
+        return rel_h_q.reshape(B, heads, N, ws), rel_w_q.reshape(B, heads, N, ws)
+
+    f_prep = map8(lambda i, q: sum(jnp.sum(t) for t in prep(i, q)), q)
+    report("encbits.prep_einsums", timed(lambda i: f_prep(q + i * 1e-7)))
+
+    # 3. concat/broadcast/pad of augmented operands alone (tables given)
+    rhq = mk(B, heads, N, ws)
+    rwq = mk(B, heads, N, ws)
+    rows = np.repeat(np.arange(ws), ws)
+    cols = np.tile(np.arange(ws), ws)
+    eye_h = jnp.asarray(np.eye(ws, dtype=np.float32)[rows])
+    eye_w = jnp.asarray(np.eye(ws, dtype=np.float32)[cols])
+
+    def aug(i, q, k, rhq, rwq):
+        dt = q.dtype
+        scale = hd ** -0.5
+        parts_q = [(q + i * 1e-6) * jnp.asarray(scale, dt), rhq, rwq,
+                   jnp.ones((B, heads, N, 1), dt)]
+        parts_k = [k, jnp.broadcast_to(eye_h, (B, heads, N, ws)).astype(dt),
+                   jnp.broadcast_to(eye_w, (B, heads, N, ws)).astype(dt),
+                   jnp.zeros((B, heads, N, 1), dt)]
+        q_aug = jnp.concatenate(parts_q, axis=-1)
+        k_aug = jnp.concatenate(parts_k, axis=-1)
+        Da = _round_up(q_aug.shape[-1], 128)
+        return _pad_axis(q_aug, 3, Da), _pad_axis(k_aug, 3, Da)
+
+    f_aug = map8(lambda i, q, k, rhq, rwq: sum(
+        jnp.sum(t) for t in aug(i, q, k, rhq, rwq)), q, k, rhq, rwq)
+    report("encbits.aug_concat", timed(lambda i: f_aug(q + i * 1e-7, k, rhq, rwq)))
+
+    # 4. kernel alone on prebuilt aligned operands
+    Nk_pad = _round_up(N, 128)
+    bq = _round_up(N, 16)
+    q_aug = mk(B, heads, bq, 128)
+    k_aug = mk(B, heads, Nk_pad, 128)
+    v_p = mk(B, heads, Nk_pad, 128)
+    f_kern = map8(lambda i, qa, ka, vp: _fused_attention(
+        qa + i * 1e-6, ka, vp, bq, False), q_aug, k_aug, v_p)
+    report("encbits.kernel", timed(lambda i: f_kern(q_aug + i * 1e-7, k_aug, v_p)))
+
+    # 5. single clean GEMM producing the FULL qR tables (no extraction):
+    #    (B*heads*N, hd) @ (hd, 2*N) — upper bound on a no-thin-GEMM prep
+    Rfull = mk(hd, 2 * N)
+    qf = q.reshape(B * heads * N, hd)
+    f_gemm = map8(lambda i, qf, Rf: (qf + i * 1e-6) @ Rf, qf, Rfull)
+    report("encbits.qR_fullgemm", timed(lambda i: f_gemm(qf + i * 1e-7, Rfull)))
+
+    # 6. merged batched einsum variant: one (28,...) batched GEMM for both
+    #    tables (batch h- and w- slots together, N still 14)
+    qg_h = q.reshape(B, heads, ws, ws, hd)
+
+    def prep_merged(i, q):
+        qg = (q + i * 1e-6).reshape(B, heads, ws, ws, hd)
+        qT = qg.transpose(0, 1, 3, 2, 4)  # (B, heads, w, h, hd)
+        stacked_q = jnp.concatenate([
+            qg.transpose(2, 0, 1, 3, 4).reshape(ws, -1, hd),
+            qT.transpose(3, 0, 1, 2, 4).reshape(ws, -1, hd)], axis=0)
+        stacked_R = jnp.concatenate([Rh, Rw], axis=0)  # (2ws, ws, hd)
+        out = jnp.einsum("snc,skc->snk", stacked_q, stacked_R)
+        return out
+
+    f_pm = map8(lambda i, q: jnp.sum(prep_merged(i, q)), q)
+    report("encbits.prep_merged", timed(lambda i: f_pm(q + i * 1e-7)))
+
+    # 7. window partition/unpartition round trip at encoder shape
+    x = mk(1, 64, 64, dim)
+    from sam6d_tpu.models.sam import window_partition, window_unpartition
+
+    def roundtrip(i, x):
+        w_, pad_hw = window_partition(x + i * 1e-6, ws)
+        return window_unpartition(w_ * 1.0001, ws, pad_hw, (64, 64))
+
+    f_rt = map8(roundtrip, x)
+    report("encbits.win_roundtrip", timed(lambda i: f_rt(x + i * 1e-7)))
+
+    # 8. qkv reshape/transpose to (3, B, heads, N, hd) layout alone
+    qkv = mk(B, ws, ws, 3 * dim)
+
+    def split(i, qkv):
+        t = (qkv + i * 1e-6).reshape(B, N, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+        return t[0] + t[1] * 0.1 + t[2] * 0.01
+
+    f_sp = map8(split, qkv)
+    report("encbits.qkv_split", timed(lambda i: f_sp(qkv + i * 1e-7)))
+
+
+# ------------------------------------------------------------------- amgchunk
+
+@exp("amgchunk")
+def exp_amgchunk():
+    """The AMG fused tail (_propose) vs decode chunk size. 1024 prompts /
+    points_per_batch trips: 128 -> 8 trips sits in the measured mid-trip
+    XLA pathology zone (r2 lever 4); sweep the real program."""
+    import dataclasses
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    base = SAMConfig()
+    seg0 = SAMSegmentor(base, variables="eval_shape", dtype=jnp.bfloat16)
+    canvas, _, (hs, ws), (h_in, w_in) = seg0.preprocess_frame(image)
+    Ry, Rx, pts_in = seg0.frame_constants(hs, ws, h_in, w_in)
+    g = base.img_size // base.patch_size
+    emb = jnp.asarray(rng.rand(g, g, base.prompt_embed_dim).astype(
+        np.float32) * 0.1).astype(jnp.bfloat16)
+
+    for chunk in (32, 64, 128, 256):
+        cfg = dataclasses.replace(base, points_per_batch=chunk)
+        seg = SAMSegmentor(cfg, variables=seg0.vars, dtype=jnp.bfloat16)
+        f = seg._propose
+        f(seg.vars, emb, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in,
+          w_in=w_in)[0].block_until_ready()
+        report(f"amgchunk.propose_c{chunk}",
+               timed(lambda i: f(seg.vars, emb + i * 1e-6, pts_in, Ry, Rx,
+                                 hs=hs, ws=ws, h_in=h_in, w_in=w_in)[0]),
+               per=1)
+
+
+# ----------------------------------------------------------------- solverbits
+
+@exp("solverbits")
+def exp_solverbits():
+    """Bisect the 28.7 ms coarse solver at B=16 / 6000 proposals."""
+    from sam6d_tpu.pose.solvers import (soft_assignment,
+                                        _chunked_min_dist_to_model)
+    from sam6d_tpu.ops.sampling import multinomial_from_weights
+    from sam6d_tpu.ops.geometry import (weighted_procrustes,
+                                        inverse_transform_points,
+                                        pairwise_sq_distance)
+
+    rng = np.random.RandomState(0)
+    B, N1, N2, P1, P2, M = 16, 196, 196, 6000, 300, 1024
+    key = jax.random.PRNGKey(0)
+    atten = jnp.asarray(rng.rand(B, N1 + 1, N2 + 1).astype(np.float32))
+    pts1 = jnp.asarray(rng.rand(B, N1, 3).astype(np.float32))
+    pts2 = jnp.asarray(rng.rand(B, N2, 3).astype(np.float32))
+    model = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+
+    f_soft = map8(lambda i, a: soft_assignment(a + i * 1e-6)[0], atten)
+    report("solverbits.softassign", timed(lambda i: f_soft(atten + i * 1e-7)))
+
+    flat = jnp.asarray(rng.rand(B, N1 * N2).astype(np.float32))
+    f_mult = map8(lambda i, w: multinomial_from_weights(
+        jax.random.fold_in(key, i.astype(jnp.int32)), w, P1 * 3), flat)
+    report("solverbits.multinomial", timed(lambda i: f_mult(flat + i * 1e-7)))
+
+    p1 = jnp.asarray(rng.rand(B, P1, 3, 3).astype(np.float32))
+    p2 = jnp.asarray(rng.rand(B, P1, 3, 3).astype(np.float32))
+    f_proc = map8(lambda i, a, b: weighted_procrustes(a + i * 1e-6, b)[0],
+                  p1, p2)
+    report("solverbits.procrustes6k", timed(lambda i: f_proc(p1 + i * 1e-7, p2)))
+
+    Rs = jnp.asarray(rng.rand(B, P2, 3, 3).astype(np.float32))
+    ts = jnp.asarray(rng.rand(B, P2, 3).astype(np.float32))
+
+    def mindist(i, pts1, Rs, ts, model, chunk):
+        tr = inverse_transform_points(pts1[:, None, :, :] + i * 1e-6, Rs, ts)
+        return _chunked_min_dist_to_model(tr, model, chunk)
+
+    for chunk in (30, 100, 300):
+        f_md = map8(lambda i, a, b, c, d, ch=chunk: mindist(i, a, b, c, d, ch),
+                    pts1, Rs, ts, model)
+        report(f"solverbits.mindist_chunk{chunk}",
+               timed(lambda i: f_md(pts1 + i * 1e-7, Rs, ts, model)))
+
+    # model-chunked running-min variant (scan over model points, no P-chunk)
+    def mindist_modelchunk(i, pts1, Rs, ts, model):
+        tr = inverse_transform_points(pts1[:, None, :, :] + i * 1e-6, Rs, ts)
+        trf = tr.reshape(B, P2 * N1, 3)
+
+        def body(carry, mstart):
+            msl = jax.lax.dynamic_slice_in_dim(model, mstart, 256, axis=1)
+            d2 = pairwise_sq_distance(trf, msl)
+            return jnp.minimum(carry, jnp.min(d2, axis=-1)), None
+
+        init = jnp.full((B, P2 * N1), 1e30, trf.dtype)
+        out, _ = jax.lax.scan(body, init, jnp.arange(0, M, 256))
+        return jnp.sqrt(out)
+
+    f_mc = map8(mindist_modelchunk, pts1, Rs, ts, model)
+    report("solverbits.mindist_modelchunk256",
+           timed(lambda i: f_mc(pts1 + i * 1e-7, Rs, ts, model)))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args or "--list" in args:

@@ -113,6 +113,23 @@ def test_group_points(rng):
     np.testing.assert_array_equal(got[0], feats[0][idx[0]])
 
 
+def test_group_points_onehot_path_bitexact(rng):
+    """The TPU one-hot-matmul gather (bf16 fast path) must reproduce the
+    row gather bit-for-bit, including the chunk-padding tail."""
+    from sam6d_tpu.ops.ball_query import _group_points_onehot
+
+    B, N, C = 2, 64, 8
+    feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(
+        jnp.bfloat16)
+    for M, S in ((10, 7), (16, 16)):  # 70 and 256 rows with chunk 32
+        idx = rng.randint(0, N, size=(B, M, S)).astype(np.int32)
+        flat = jnp.asarray(idx.reshape(B, M * S))
+        got = np.asarray(_group_points_onehot(feats, flat, M, S, chunk=32))
+        want = np.asarray(jnp.take_along_axis(
+            feats, flat[..., None], axis=1).reshape(B, M, S, C))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_query_and_group_channels(rng):
     xyz = rng.rand(1, 30, 3).astype(np.float32)
     out = query_and_group(0.5, 30, jnp.array(xyz), jnp.array(xyz), jnp.array(xyz))
