@@ -136,9 +136,17 @@ def bench_seg(dtype, proposals: int):
     Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
     canvas_j = jnp.asarray(canvas[None])
 
-    prog = jax.jit(lambda v, c: jnp.sum(seg._propose_impl(
-        v, seg.encoder.apply(v["image_encoder"], c)[0],
-        pts, Ry, Rx, hs, ws, h_in, w_in)[1]))
+    def run(v, c):
+        # consume EVERY output: summing only boxes lets XLA dead-code the
+        # (K, Hs, Ws) mask materialization and under-reports the stage by
+        # ~90 ms (discovered round 3 — probe programs must consume all
+        # outputs to measure the production program)
+        masks, boxes, valid, iou = seg._propose_impl(
+            v, seg.encoder.apply(v["image_encoder"], c)[0],
+            pts, Ry, Rx, hs, ws, h_in, w_in)
+        return (jnp.sum(masks) + jnp.sum(boxes) + jnp.sum(valid)
+                + jnp.sum(iou))
+    prog = jax.jit(run)
 
     def body(i):
         return prog(seg.vars, canvas_j + i * 1e-6)

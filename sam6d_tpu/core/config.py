@@ -37,6 +37,7 @@ class ViTConfig:
     up_type: str = "linear"        # 'linear' 16x pixel-shuffle + bilinear
     remat: bool = False            # gradient-checkpoint each scanned block
     use_flash: bool = False        # Pallas fused attention (inference only)
+    unroll: bool = False           # flatten the block scan at lowering
     #   (training-memory lever: recompute block activations in the backward
     #   pass instead of storing all `depth` of them; no effect on inference)
 
@@ -72,6 +73,7 @@ class PointMatchingConfig:
     pe_nsample1: int = 32
     pe_nsample2: int = 64
     focusing_factor: int = 3
+    unroll: bool = False           # flatten the block scan at lowering
 
 
 @dataclass(frozen=True)

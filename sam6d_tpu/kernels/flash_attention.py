@@ -73,12 +73,18 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref):
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _head_block(heads: int, block_q: int, Nk: int, Da: int, Dv: int) -> int:
-    """Largest divisor of `heads` whose working set fits the VMEM budget."""
-    per_head = (Nk * (Da + Dv) * 2          # k + v (bf16)
+def _head_block(heads: int, block_q: int, Nk: int, Da: int, Dv: int,
+                itemsize: int = 2) -> int:
+    """Largest divisor of `heads` whose working set fits the VMEM budget.
+
+    `itemsize` is the storage dtype width — fp32 operands (e.g. the
+    bf16-vs-fp32 numerics harness) double the k/v/q/out footprint, so
+    sizing for bf16 unconditionally overflows VMEM and faults the chip.
+    """
+    per_head = (Nk * (Da + Dv) * itemsize    # k + v
                 + block_q * Nk * 4           # fp32 scores
-                + block_q * Nk * 2           # p cast back
-                + block_q * (Da + Dv * 3) * 2)  # q + out
+                + block_q * Nk * itemsize    # p cast back
+                + block_q * (Da + Dv * 3) * itemsize)  # q + out
     hb = max(1, _VMEM_BUDGET // max(per_head, 1))
     while heads % hb:
         hb -= 1
@@ -90,7 +96,8 @@ def _fused_attention(q_aug, k_aug, v, block_q: int, interpret: bool):
     scale/bias/mask columns. Shapes must be tile-aligned."""
     B, heads, Nq, Da = q_aug.shape
     Nk, Dv = v.shape[-2], v.shape[-1]
-    hb = _head_block(heads, block_q, Nk, Da, Dv)
+    hb = _head_block(heads, block_q, Nk, Da, Dv,
+                     itemsize=jnp.dtype(v.dtype).itemsize)
     call = pl.pallas_call(
         _fused_kernel,
         grid=(heads // hb, Nq // block_q),

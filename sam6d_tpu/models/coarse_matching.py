@@ -49,6 +49,7 @@ class CoarsePointMatching(nn.Module):
     temp: float = 0.1
     normalize_feat: bool = True
     dtype: jnp.dtype = jnp.float32
+    unroll: bool = False  # flatten the block scan at lowering
 
     @nn.compact
     def __call__(self, f1, geo1, f2, geo2, all_blocks: bool = False):
@@ -66,7 +67,8 @@ class CoarsePointMatching(nn.Module):
         f2 = jnp.concatenate([bg_b, in_proj(f2)], axis=1)
 
         Scanned = nn.scan(_ScanGeoBlock, variable_axes={"params": 0},
-                          split_rngs={"params": True}, length=self.nblock)
+                          split_rngs={"params": True}, length=self.nblock,
+                          unroll=self.nblock if self.unroll else 1)
         _, (f1_all, f2_all) = Scanned(self.hidden_dim, self.num_heads,
                                       dtype=self.dtype, name="transformers")(
             (f1, f2, geo1, geo2), None)

@@ -67,6 +67,7 @@ class DINOv2(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    unroll: bool = False  # flatten the block scan at lowering (see below)
 
     @nn.compact
     def __call__(self, x):
@@ -82,9 +83,14 @@ class DINOv2(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + pos.astype(x.dtype)
-        # scan over stacked blocks: one-block compile regardless of depth
+        # scan over stacked blocks: one-block compile regardless of depth.
+        # `unroll` flattens the scan at lowering (identical param tree):
+        # scan bodies coexisting with other ops in a fused program run
+        # ~2-3x slower on TPU (see PERFORMANCE.md round 3, probe amgy) —
+        # unrolling trades compile time for that back.
         Scanned = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
-                          split_rngs={"params": True}, length=self.depth)
+                          split_rngs={"params": True}, length=self.depth,
+                          unroll=self.depth if self.unroll else 1)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.mlp_ratio,
                        dtype=self.dtype, use_flash=self.use_flash,
                        name="blocks")(x, None)

@@ -126,6 +126,7 @@ class FinePointMatching(nn.Module):
     normalize_feat: bool = True
     focusing_factor: int = 3
     dtype: jnp.dtype = jnp.float32
+    unroll: bool = False  # flatten the block scan at lowering
 
     @nn.compact
     def __call__(self, pe1, f1, geo1, fps_idx1, pe2, f2, geo2, fps_idx2,
@@ -152,7 +153,8 @@ class FinePointMatching(nn.Module):
         f2 = jnp.concatenate([bg_b.astype(f2.dtype), f2], axis=1)
 
         Scanned = nn.scan(_ScanS2DBlock, variable_axes={"params": 0},
-                          split_rngs={"params": True}, length=self.nblock)
+                          split_rngs={"params": True}, length=self.nblock,
+                          unroll=self.nblock if self.unroll else 1)
         _, (f1_all, f2_all) = Scanned(
             self.hidden_dim, self.num_heads, self.focusing_factor,
             dtype=self.dtype, name="transformers")(

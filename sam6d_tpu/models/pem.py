@@ -51,7 +51,8 @@ class PEMNet(nn.Module):
             embed_dim=c.vit.embed_dim, depth=c.vit.depth,
             num_heads=c.vit.num_heads, mlp_ratio=c.vit.mlp_ratio,
             out_dim=c.vit.out_dim, use_pyramid_feat=c.vit.use_pyramid_feat,
-            remat=c.vit.remat, use_flash=c.vit.use_flash, dtype=self.dtype)
+            remat=c.vit.remat, use_flash=c.vit.use_flash, unroll=c.vit.unroll,
+            dtype=self.dtype)
         g = c.geo_embedding
         self.geo_embedding = GeometricStructureEmbedding(
             hidden_dim=g.hidden_dim, sigma_d=g.sigma_d, sigma_a=g.sigma_a,
@@ -60,13 +61,13 @@ class PEMNet(nn.Module):
         self.coarse_point_matching = CoarsePointMatching(
             nblock=cm.nblock, input_dim=cm.input_dim, hidden_dim=cm.hidden_dim,
             out_dim=cm.out_dim, num_heads=cm.num_heads, temp=cm.temp,
-            normalize_feat=cm.normalize_feat, dtype=self.dtype)
+            normalize_feat=cm.normalize_feat, unroll=cm.unroll, dtype=self.dtype)
         fm = c.fine
         self.fine_point_matching = FinePointMatching(
             nblock=fm.nblock, input_dim=fm.input_dim, hidden_dim=fm.hidden_dim,
             out_dim=fm.out_dim, num_heads=fm.num_heads, temp=fm.temp,
             normalize_feat=fm.normalize_feat, focusing_factor=fm.focusing_factor,
-            dtype=self.dtype)
+            unroll=fm.unroll, dtype=self.dtype)
         # PE lives at net scope so the (pose-independent) template encoding
         # can be precomputed once at onboarding
         self.fine_pe = PositionalEncoding(

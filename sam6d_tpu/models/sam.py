@@ -272,6 +272,7 @@ class SAMImageEncoder(nn.Module):
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     out_chans: int = 256
     use_flash: bool = False  # Pallas flash attention for the global blocks
+    unroll: bool = False     # flatten the block scan at lowering
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -286,8 +287,13 @@ class SAMImageEncoder(nn.Module):
         x = x + pos.astype(x.dtype)
         is_global = jnp.asarray(
             [i in self.global_attn_indexes for i in range(self.depth)])
+        # `unroll` flattens the scan at lowering (identical param tree) —
+        # scan bodies in fused programs run ~2-3x slower on TPU (see
+        # PERFORMANCE.md round 3); unrolled, the constant is_global also
+        # lets XLA fold each step's windowed/global lax.cond to one branch
         Scanned = nn.scan(_ScanSAMStep, variable_axes={"params": 0},
-                          split_rngs={"params": True}, length=self.depth)
+                          split_rngs={"params": True}, length=self.depth,
+                          unroll=self.depth if self.unroll else 1)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.window_size,
                        grid, use_flash=self.use_flash, dtype=self.dtype,
                        name="blocks")(x, is_global)

@@ -146,6 +146,7 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    unroll: bool = False  # flatten the block scan at lowering
 
     @property
     def grid(self) -> int:
@@ -176,7 +177,8 @@ class ViT(nn.Module):
                      if self.remat else _ScanBlock)
         ScannedBlock = nn.scan(
             block_cls, variable_axes={"params": 0},
-            split_rngs={"params": True}, length=self.depth, out_axes=0)
+            split_rngs={"params": True}, length=self.depth, out_axes=0,
+            unroll=self.depth if self.unroll else 1)
         _, inter = ScannedBlock(self.embed_dim, self.num_heads,
                                 self.mlp_ratio, dtype=self.dtype,
                                 use_flash=self.use_flash,
@@ -271,13 +273,15 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x, full_res: bool = True):
         H, W = x.shape[1], x.shape[2]
         outs = ViT(self.img_size, self.patch_size, self.embed_dim, self.depth,
                    self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                   remat=self.remat, use_flash=self.use_flash, name="vit")(x)
+                   remat=self.remat, use_flash=self.use_flash,
+                   unroll=self.unroll, name="vit")(x)
         cls_tokens = outs[-1][:, 0, :]
         patch = [o[:, 1:, :] for o in outs]
         fmap = ViTPixelDecoder(self.embed_dim, self.out_dim,

@@ -152,21 +152,59 @@ def nms_masked(
 
     iou: (N, N) pairwise overlap; same_group: (N, N) bool (e.g. same
     object id — reference applies NMS per object id, model/utils.py:107-119).
-    Exactly reproduces sequential greedy NMS via a fori_loop over the
-    score-ordered slots; invalid slots are never kept.
+
+    Exactly reproduces sequential greedy NMS, but NOT as an N-step
+    sequential loop (3072 tiny fori_loop steps cost ~100 ms on TPU —
+    measured as the dominant term of the AMG tail). Instead a parallel
+    fixed-point over decision states in score-rank space: each round, a
+    candidate is KEPT if every higher-ranked overlapping candidate is
+    already suppressed, and SUPPRESSED if some higher-ranked kept
+    candidate overlaps it. The highest-ranked undecided candidate always
+    has all its predecessors decided, so every round decides at least one
+    candidate and the loop terminates in at most `longest suppression
+    chain` rounds (typically < 10); each round is one (N, N) masked
+    reduction on the VPU.
     """
     N = scores.shape[0]
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    # precedence DIRECTLY in unsorted space: j precedes i iff
+    # (score_j, -j) > (score_i, -i) lexicographically — identical to the
+    # stable argsort(-score) rank order, with zero gathers. (The sorted
+    # formulation's iou[order][:, order] double gather cost ~90 ms at
+    # N=3072 inside the fused AMG program; probe amg.fused_score_nms.)
+    s = jnp.where(valid, scores, -jnp.inf)
+    idx = jnp.arange(N)
+    beats = (s[None, :] > s[:, None]) | (
+        (s[None, :] == s[:, None]) & (idx[None, :] < idx[:, None]))
+    O = (iou > thresh) & same_group & beats
+    # the per-round reductions run as ONE (N, N) @ (N, 2) matmul: inside
+    # large fused programs the boolean any(O & mask) reduction picks up a
+    # pathological layout (~11 ms/round at N=3072 vs ~0.1 standalone,
+    # probe amg.fused_fori16); the MXU matvec is layout-robust. Exact:
+    # 0/1 products accumulated in fp32, and only the sign is used.
+    # (bf16 on TPU only: the XLA CPU emitter rejects bf16 dot.)
+    mm_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    Of = O.astype(mm_dt)
 
-    def body(i, keep):
-        cand = order[i]
-        # suppressed if any higher-scored kept detection in same group overlaps
-        overlap = (iou[cand] > thresh) & same_group[cand] & keep
-        ok = valid[cand] & ~jnp.any(overlap)
-        return keep.at[cand].set(ok)
+    def cond(state):
+        kept, supp = state
+        return jnp.any(~kept & ~supp)
 
-    keep = jnp.zeros((N,), bool)
-    return jax.lax.fori_loop(0, N, body, keep)
+    def body(state):
+        kept, supp = state
+        und = ~kept & ~supp
+        S = jnp.stack([(~supp).astype(mm_dt),
+                       kept.astype(mm_dt)], axis=1)
+        R = jax.lax.dot_general(Of, S, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        higher_unsupp = R[:, 0] > 0
+        higher_kept = R[:, 1] > 0
+        return kept | (und & ~higher_unsupp), supp | (und & higher_kept)
+
+    # invalid slots start suppressed: they are never kept and must not
+    # block other candidates from deciding
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((N,), bool), ~valid))
+    return kept
 
 
 # ---------------------------------------------------- host-side small regions

@@ -160,20 +160,29 @@ class SAMSegmentor:
 
     def _resize_logits_block(self, mb, Ry, Rx):
         """Block-layout masks (B, 4K, 4*g*g) -> (B, K, Hs, Ws). The
-        low-res row index is 4i+2p+r (col: 4j+2q+s), so the composed
-        bilinear matrices just reshape their last axis to (g, 2, 2) — no
-        relayout of the mask tensor is ever materialized."""
+        low-res row index is 4i+2p+r (col: 4j+2q+s).
+
+        Unpacks the block layout with ONE transpose to (B, K, 4g, 4g) and
+        resizes with two plain GEMMs against the composed bilinear
+        matrices. The earlier formulation factored the matrices to
+        (a, g, 2, 2) and contracted without unpacking — "no relayout" —
+        but its (b, k, a, s, j, q) intermediate has minor dim 2, which
+        tiles 2 of 128 TPU lanes; composed into the fused propose program
+        that einsum materialized at ~64x effective bandwidth and dominated
+        the whole AMG tail (~95 ms across 8 chunks)."""
         B, K4, N4 = mb.shape
         K = K4 // 4
         g = int(round((N4 // 4) ** 0.5))
         m = mb.reshape(B, K, 2, 2, g, g, 2, 2)   # b, k, r, s, i, j, p, q
+        # -> (b, k, [i,p,r], [j,q,s]) = (B, K, 4g, 4g), minor dim 4g=256
+        m = m.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(B, K, 4 * g, 4 * g)
         # matrices in the mask dtype: the fp32 promotion materialized the
         # (chunk, 3, Hs, Ws) logits at 2x the bytes for no extra precision
         # (the logits themselves are bf16 on TPU)
-        RyB = Ry.astype(mb.dtype).reshape(Ry.shape[0], g, 2, 2)  # a, i, p, r
-        RxB = Rx.astype(mb.dtype).reshape(Rx.shape[0], g, 2, 2)  # c, j, q, s
-        t = jnp.einsum("aipr,bkrsijpq->bkasjq", RyB, m)
-        return jnp.einsum("cjqs,bkasjq->bkac", RxB, t)
+        RyB = Ry.astype(mb.dtype)                # (Hs, 4g)
+        RxB = Rx.astype(mb.dtype)                # (Ws, 4g)
+        t = jnp.einsum("ah,bkhw->bkaw", RyB, m)
+        return jnp.einsum("cw,bkaw->bkac", RxB, t)
 
     def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
         """Score all prompts. Returns (iou (3P,), stability (3P,),
@@ -194,9 +203,22 @@ class SAMSegmentor:
             return iou.reshape(-1), stability.reshape(-1), boxes
 
         P = points.shape[0]
-        pts = points.reshape(P // chunk, chunk, 2)
-        iou, stab, boxes = jax.lax.map(one, pts)
-        return iou.reshape(-1), stab.reshape(-1), boxes.reshape(-1, 4)
+        # Python-unrolled chunk loop, NOT lax.map: an XLA scan coexisting
+        # with any (T, T)-sized op elsewhere in the program (the NMS tail)
+        # drops the whole program into a ~3x slower mode (score+NMS fused:
+        # 141 ms scanned vs 46 unrolled — probe amgy.unrolled_outer3072).
+        # The unrolled HLO is ~8x larger and compiles minutes cold; the
+        # persistent compilation cache amortizes that.
+        assert P % chunk == 0, (P, chunk)  # the reshape this replaced errored
+        iou_l, stab_l, box_l = [], [], []
+        for c in range(P // chunk):
+            i_c, s_c, b_c = one(
+                jax.lax.dynamic_slice_in_dim(points, c * chunk, chunk, 0))
+            iou_l.append(i_c)
+            stab_l.append(s_c)
+            box_l.append(b_c)
+        return (jnp.concatenate(iou_l), jnp.concatenate(stab_l),
+                jnp.concatenate(box_l))
 
     def _rank_all_impl(self, v, embedding, points, h_in, w_in):
         """Cheap pre-rank pass over ALL grid prompts: frozen-image decode
@@ -229,7 +251,11 @@ class SAMSegmentor:
         chunk = min(cfg.amg_rank_chunk, P)
         if P % chunk:
             chunk = P  # non-divisible grids: single chunk
-        iou, stab = jax.lax.map(one, points.reshape(P // chunk, chunk, 2))
+        # unrolled chunk loop (see _score_all_impl)
+        pairs = [one(jax.lax.dynamic_slice_in_dim(points, c * chunk, chunk, 0))
+                 for c in range(P // chunk)]
+        iou = jnp.concatenate([p[0] for p in pairs])
+        stab = jnp.concatenate([p[1] for p in pairs])
         return iou.reshape(P, -1), stab.reshape(P, -1)
 
     def _masks_for_impl(self, v, embedding, sel_points, sel_channel, Ry, Rx,
@@ -250,9 +276,15 @@ class SAMSegmentor:
             hi = self._resize_logits_block(low, Ry, Rx)[:, 0]
             return hi > 0.0
 
-        pts = sel_points.reshape(K // chunk, chunk, 2)
-        chs = sel_channel.reshape(K // chunk, chunk)
-        out = jax.lax.map(one, (pts, chs))
+        # unrolled chunk loop (see _score_all_impl: scans coexist badly
+        # with the NMS tail's (T, T) ops in the same program)
+        assert K % chunk == 0, (K, chunk)  # the reshape this replaced errored
+        outs = [one((jax.lax.dynamic_slice_in_dim(sel_points, c * chunk,
+                                                  chunk, 0),
+                     jax.lax.dynamic_slice_in_dim(sel_channel, c * chunk,
+                                                  chunk, 0)))
+                for c in range(K // chunk)]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         return out.reshape(K, hs, ws)
 
     def _propose_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):

@@ -152,8 +152,19 @@ def exp_pem():
         jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
-    for name, inputs in (("pem.nocache", base), ("pem.cached", cached)):
-        fwd = jax.jit(lambda v, i, k: jnp.sum(net.apply(v, i, k)["pred_R"]))
+    import dataclasses
+    from sam6d_tpu.core.config import ViTConfig, PointMatchingConfig
+    cfg_u = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, unroll=True),
+        coarse=dataclasses.replace(cfg.coarse, unroll=True),
+        fine=dataclasses.replace(cfg.fine, unroll=True))
+    net_u = PEMNet(cfg_u, dtype=jnp.bfloat16)  # same param tree
+
+    for name, network, inputs in (("pem.nocache", net, base),
+                                  ("pem.cached", net, cached),
+                                  ("pem.cached_unrolled", net_u, cached)):
+        fwd = jax.jit(lambda v, i, k, n=network: jnp.sum(
+            n.apply(v, i, k)["pred_R"]))
 
         def body(i, inputs=inputs, fwd=fwd):
             inp = dict(inputs, rgb=inputs["rgb"] + i * 1e-6)
@@ -181,6 +192,33 @@ def exp_enc():
         report(name, timed(lambda i: fwd(v, x + i * 1e-6)), per=1)
 
     run("enc.full")
+    run("enc.unrolled", unroll=True)
+
+
+@exp("dino")
+def exp_dino():
+    """DINOv2-L describe chunk (16 crops): block scan vs unrolled."""
+    from sam6d_tpu.core.config import DINOv2Config
+    from sam6d_tpu.models.dinov2 import DINOv2
+    from sam6d_tpu.core.params import cast_float_params
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    x = jnp.asarray(rng.rand(16, 224, 224, 3).astype(np.float32)).astype(
+        jnp.bfloat16)
+    cases = (("dino.scan16", True, 16), ("dino.unrolled16", True, 16),
+             ("dino.noflash16", False, 16), ("dino.flash32", True, 32),
+             ("dino.noflash32", False, 32))
+    for name, flash, bsz in cases:
+        unroll = name == "dino.unrolled16"
+        net = DINOv2(patch_size=c.patch_size, embed_dim=c.embed_dim,
+                     depth=c.depth, num_heads=c.num_heads,
+                     dtype=jnp.bfloat16, use_flash=flash, unroll=unroll)
+        v = cast_float_params(init_like(
+            lambda: net.init(jax.random.PRNGKey(0), x[:1])), jnp.bfloat16)
+        xb = jnp.concatenate([x] * (bsz // 16))
+        fwd = jax.jit(lambda v, xx: jnp.sum(net.apply(v, xx)[0]))
+        report(name, timed(lambda i: fwd(v, xb + i * 1e-6)), per=1)
 
 
 @exp("encmlp")
@@ -675,6 +713,490 @@ def exp_solverbits():
     f_mc = map8(mindist_modelchunk, pts1, Rs, ts, model)
     report("solverbits.mindist_modelchunk256",
            timed(lambda i: f_mc(pts1 + i * 1e-7, Rs, ts, model)))
+
+
+# ------------------------------------------------------------------------ amg
+
+@exp("amg")
+def exp_amg():
+    """Decompose the AMG tail (~147 ms at seg 224.5 - enc 77.5): full
+    propose, pass-1 score_all at chunk 128/256/512 (mid-trip-count test:
+    1024 prompts -> 8/4/2 lax.map trips), decode-only, resize+stability+
+    boxes-only, pass-2 masks_for."""
+    import dataclasses
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+
+    segs = {}
+    for chunk in (128, 256, 512):
+        segs[chunk] = SAMSegmentor(
+            dataclasses.replace(cfg, points_per_batch=chunk),
+            variables="eval_shape", dtype=jnp.bfloat16)
+    seg = segs[128]
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+
+    # full fused propose (the bench seg tail)
+    def run_prop(i, s=seg):
+        out = s._propose(s.vars, emb + i * 1e-6, pts, Ry, Rx,
+                         hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+        return jnp.sum(out[3])
+    f = jax.jit(run_prop)
+    report("amg.propose_full", timed(lambda i: f(i)), per=1)
+
+    # pass 1 at each chunk size
+    for chunk, s in segs.items():
+        g = jax.jit(lambda v, e, p, ry, rx, s=s: jnp.sum(s._score_all_impl(
+            v, e, p, ry, rx, hs, ws, h_in, w_in)[0]))
+        report(f"amg.score_all_c{chunk}",
+               timed(lambda i: g(s.vars, emb + i * 1e-7, pts, Ry, Rx)), per=1)
+
+    # decode alone (no resize/stability/boxes), 8 chunks via lax.map
+    def score_decode_only(v, e, p):
+        dense_pe = seg.prompt_encoder.apply(v["prompt_encoder"],
+                                            method="dense_pe")
+
+        def one(c):
+            masks, iou = seg._decode_chunk(v, e, dense_pe, c)
+            return jnp.sum(masks) + jnp.sum(iou)
+        return jnp.sum(jax.lax.map(one, p.reshape(8, 128, 2)))
+    g = jax.jit(score_decode_only)
+    report("amg.decode_only_c128",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    # resize + stability + boxes alone on prebuilt block-layout masks
+    from sam6d_tpu.ops.masks import masks_to_boxes
+    mb = jnp.asarray(rng.rand(128, 12, 4 * 64 * 64).astype(np.float32)
+                     - 0.5).astype(jnp.bfloat16)
+
+    def tail_only(mbt):
+        def one(c):
+            hi = seg._resize_logits_block(mbt + c * 1e-6, Ry, Rx)
+            inter = jnp.sum(hi > cfg.stability_score_offset, axis=(-1, -2))
+            union = jnp.sum(hi > -cfg.stability_score_offset, axis=(-1, -2))
+            flat = hi.reshape(-1, hs, ws)
+            boxes = masks_to_boxes((flat > 0.0).astype(jnp.float32))
+            return (jnp.sum(inter / jnp.maximum(union, 1))
+                    + jnp.sum(boxes))
+        return jnp.sum(jax.lax.map(one, jnp.arange(8, dtype=mbt.dtype)))
+    g = jax.jit(tail_only)
+    report("amg.resize_tail_x8", timed(lambda i: g(mb + i * 1e-7)), per=1)
+
+    # pass 2: top-128 mask materialization
+    selp = pts[:128]
+    selc = jnp.zeros((128,), jnp.int32)
+    g = jax.jit(lambda v, e: jnp.sum(seg._masks_for_impl(
+        v, e, selp, selc, Ry, Rx, hs, ws, h_in, w_in)))
+    report("amg.masks_for_128",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7)), per=1)
+
+    # fused ablations: which composition adds the ~60 ms over the parts?
+    import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+
+    def nms_select(iou, stab, boxes, p):
+        cfgl = seg.cfg
+        valid = ((iou > cfgl.pred_iou_thresh)
+                 & (stab >= cfgl.stability_score_thresh))
+        iou_mat = sam_amg_mod.box_iou(boxes, boxes)
+        T = iou.shape[0]
+        same = jnp.ones((T, T), bool)
+        keep = sam_amg_mod.nms_masked(iou_mat, iou, valid, same,
+                                      cfgl.box_nms_thresh)
+        K = cfgl.max_proposals
+        score = jnp.where(keep, iou, -jnp.inf)
+        order = jnp.argsort(-score)[:K]
+        return keep[order], p[order // 3], (order % 3).astype(jnp.int32)
+
+    # (a) score + NMS + select, no mask materialization
+    def prog_a(v, e, p, ry, rx):
+        iou, stab, boxes = seg._score_all_impl(v, e, p, ry, rx,
+                                               hs, ws, h_in, w_in)
+        sv, sp, sc = nms_select(iou, stab, boxes, p)
+        return jnp.sum(sv) + jnp.sum(sp) + jnp.sum(sc)
+    g = jax.jit(prog_a)
+    report("amg.fused_score_nms",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts, Ry, Rx)), per=1)
+
+    # (b) score + masks_for on a FIXED selection (no NMS dependency)
+    def prog_b(v, e, p, ry, rx):
+        iou, stab, boxes = seg._score_all_impl(v, e, p, ry, rx,
+                                               hs, ws, h_in, w_in)
+        masks = seg._masks_for_impl(v, e, p[:128],
+                                    jnp.zeros((128,), jnp.int32),
+                                    ry, rx, hs, ws, h_in, w_in)
+        return jnp.sum(iou) + jnp.sum(masks)
+    g = jax.jit(prog_b)
+    report("amg.fused_score_masks",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts, Ry, Rx)), per=1)
+
+    # (c) full propose but NMS as fixed 16-round fori_loop (no while_loop)
+    def prog_c(v, e, p, ry, rx):
+        iou, stab, boxes = seg._score_all_impl(v, e, p, ry, rx,
+                                               hs, ws, h_in, w_in)
+        cfgl = seg.cfg
+        valid = ((iou > cfgl.pred_iou_thresh)
+                 & (stab >= cfgl.stability_score_thresh))
+        iou_mat = sam_amg_mod.box_iou(boxes, boxes)
+        T = iou.shape[0]
+        order0 = jnp.argsort(-jnp.where(valid, iou, -jnp.inf))
+        iou_s = iou_mat[order0][:, order0]
+        rank = jnp.arange(T)
+        O = (iou_s > cfgl.box_nms_thresh) & (rank[None, :] < rank[:, None])
+
+        def round_(_, state):
+            kept, supp = state
+            und = ~kept & ~supp
+            hu = jnp.any(O & ~supp[None, :], axis=1)
+            hk = jnp.any(O & kept[None, :], axis=1)
+            return kept | (und & ~hu), supp | (und & hk)
+        kept, _ = jax.lax.fori_loop(
+            0, 16, round_, (jnp.zeros((T,), bool), ~valid[order0]))
+        keep = jnp.zeros((T,), bool).at[order0].set(kept)
+        K = cfgl.max_proposals
+        score = jnp.where(keep, iou, -jnp.inf)
+        order = jnp.argsort(-score)[:K]
+        masks = seg._masks_for_impl(v, e, p[order // 3],
+                                    (order % 3).astype(jnp.int32),
+                                    ry, rx, hs, ws, h_in, w_in)
+        return jnp.sum(masks) + jnp.sum(keep[order])
+    g = jax.jit(prog_c)
+    report("amg.fused_fori16",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts, Ry, Rx)), per=1)
+
+    # NMS over T=3072 candidates (the propose tail between the passes)
+    from sam6d_tpu.ops.masks import nms_masked, box_iou
+    T = 3072
+    boxes = jnp.asarray(rng.rand(T, 4).astype(np.float32)) * 400
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 20 + boxes[:, 2:] * 0.2)
+    scores = jnp.asarray(rng.rand(T).astype(np.float32))
+    validv = jnp.asarray(rng.rand(T) > 0.3)
+
+    def nms_full(b, s, val):
+        m = box_iou(b, b)
+        keep = nms_masked(m, s, val, jnp.ones((T, T), bool), 0.7)
+        return jnp.sum(keep)
+    g = jax.jit(nms_full)
+    report("amg.nms3072",
+           timed(lambda i: g(boxes + i * 1e-7, scores, validv)), per=1)
+
+
+# ------------------------------------------------------------------------ amgx
+
+@exp("amgx")
+def exp_amgx():
+    """Isolate the AMG in-program NMS composition overhead: same matmul
+    fixed-point rounds, varying ONLY the loop construct (no loop / fori-4 /
+    while_loop) plus a no-NMS control. All fused with score_all."""
+    import dataclasses
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+
+    def score(v, e, p):
+        return seg._score_all_impl(v, e, p, Ry, Rx, hs, ws, h_in, w_in)
+
+    def mk_prog(loop):
+        def prog(v, e, p):
+            iou, stab, boxes = score(v, e, p)
+            valid = ((iou > cfg.pred_iou_thresh)
+                     & (stab >= cfg.stability_score_thresh))
+            im = sam_amg_mod.box_iou(boxes, boxes)
+            s = jnp.where(valid, iou, -jnp.inf)
+            T = s.shape[0]
+            idx = jnp.arange(T)
+            beats = (s[None, :] > s[:, None]) | (
+                (s[None, :] == s[:, None]) & (idx[None, :] < idx[:, None]))
+            O = (im > cfg.box_nms_thresh) & beats
+            Of = O.astype(jnp.bfloat16)
+
+            def round_fn(state):
+                kept, supp = state
+                und = ~kept & ~supp
+                S = jnp.stack([(~supp).astype(jnp.bfloat16),
+                               kept.astype(jnp.bfloat16)], axis=1)
+                R = jax.lax.dot_general(Of, S, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                return (kept | (und & ~(R[:, 0] > 0)),
+                        supp | (und & (R[:, 1] > 0)))
+
+            st = (jnp.zeros((T,), bool), ~valid)
+            if loop == "none":
+                st = round_fn(st)
+            elif loop == "fori4":
+                st = jax.lax.fori_loop(0, 4, lambda _, s_: round_fn(s_), st)
+            elif loop == "while":
+                st = jax.lax.while_loop(
+                    lambda s_: jnp.any(~s_[0] & ~s_[1]), round_fn, st)
+            keep = st[0]
+            K = cfg.max_proposals
+            order = jnp.argsort(-jnp.where(keep, iou, -jnp.inf))[:K]
+            return jnp.sum(order) + jnp.sum(keep)
+        return jax.jit(prog)
+
+    for loop in ("none", "fori4", "while"):
+        g = mk_prog(loop)
+        report(f"amgx.loop_{loop}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    # control: score_all alone in the identical harness
+    g = jax.jit(lambda v, e, p: jnp.sum(score(v, e, p)[0]))
+    report("amgx.score_only",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    # bisect the (T, T) section: which constituent triggers the +107 ms?
+    def mk_bisect(which):
+        def prog(v, e, p):
+            iou, stab, boxes = score(v, e, p)
+            s = jnp.where(iou > cfg.pred_iou_thresh, iou, -jnp.inf)
+            acc = jnp.sum(iou) + jnp.sum(stab)
+            T = iou.shape[0]
+            if which in ("box_iou", "both"):
+                im = sam_amg_mod.box_iou(boxes, boxes)
+                acc = acc + jnp.sum(im)
+            if which in ("beats", "both"):
+                idx = jnp.arange(T)
+                beats = (s[None, :] > s[:, None]) | (
+                    (s[None, :] == s[:, None])
+                    & (idx[None, :] < idx[:, None]))
+                acc = acc + jnp.sum(beats)
+            if which == "outer_dummy":
+                # same-size (T, T) tensor from constants, NOT map outputs
+                z = jnp.arange(T, dtype=jnp.float32)
+                acc = acc + jnp.sum((z[None, :] > z[:, None]) & (
+                    (emb[0, 0, 0] + 1) > 0))
+            return acc
+        return jax.jit(prog)
+
+    for which in ("box_iou", "beats", "both", "outer_dummy"):
+        g = mk_bisect(which)
+        report(f"amgx.bisect_{which}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
+@exp("amgy")
+def exp_amgy():
+    """Scaling law of the coexistence pathology: score_all (8-trip map)
+    + a (T, T) outer op of varying T; plus the outer op without the map."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+
+    def outer(iou0, T):
+        z = jnp.arange(T, dtype=jnp.float32) + iou0
+        return jnp.sum((z[None, :] > z[:, None]).astype(jnp.float32))
+
+    for T in (256, 1024, 3072):
+        def prog(v, e, p, T=T):
+            iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
+                                                   hs, ws, h_in, w_in)
+            return jnp.sum(iou) + outer(iou[0], T)
+        g = jax.jit(prog)
+        report(f"amgy.map_outer{T}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    # outer op alone (no map in program)
+    for T in (3072,):
+        g = jax.jit(lambda x, T=T: outer(x[0, 0, 0], T))
+        report(f"amgy.outer{T}_alone",
+               timed(lambda i: g(emb + i * 1e-7)), per=1)
+
+    # scan-free score pass (Python-unrolled 8 chunks) +/- the outer op:
+    # is the pathology scan-coexistence specifically?
+    def score_unrolled(v, e, p):
+        dense_pe = seg.prompt_encoder.apply(v["prompt_encoder"],
+                                            method="dense_pe")
+        from sam6d_tpu.ops.masks import masks_to_boxes
+        cfgl = seg.cfg
+        iou_l, stab_l, box_l = [], [], []
+        for c in range(8):
+            pc = jax.lax.dynamic_slice_in_dim(p, c * 128, 128, axis=0)
+            masks, iou = seg._decode_chunk(v, e, dense_pe, pc)
+            hi = seg._resize_logits_block(masks, Ry, Rx)
+            inter = jnp.sum(hi > cfgl.stability_score_offset, axis=(-1, -2))
+            union = jnp.sum(hi > -cfgl.stability_score_offset, axis=(-1, -2))
+            iou_l.append(iou.reshape(-1))
+            stab_l.append((inter / jnp.maximum(union, 1)).reshape(-1))
+            box_l.append(masks_to_boxes(
+                (hi.reshape(-1, hs, ws) > 0.0).astype(jnp.float32)))
+        return (jnp.concatenate(iou_l), jnp.concatenate(stab_l),
+                jnp.concatenate(box_l))
+
+    g = jax.jit(lambda v, e, p: jnp.sum(score_unrolled(v, e, p)[0]))
+    report("amgy.unrolled_score",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    def prog_u(v, e, p):
+        iou, stab, boxes = score_unrolled(v, e, p)
+        return jnp.sum(iou) + outer(iou[0], 3072)
+    g = jax.jit(prog_u)
+    report("amgy.unrolled_outer3072",
+           timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
+# ----------------------------------------------------------------------- amgz
+
+@exp("amgz")
+def exp_amgz():
+    """Residual propose composition drag: does an optimization_barrier
+    between score pass / NMS / materialization recover the sum of parts?
+    Plus a no-NMS floor."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+
+    def propose_like(v, e, p, barrier, nms):
+        iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
+                                               hs, ws, h_in, w_in)
+        if barrier:
+            iou, stab, boxes = jax.lax.optimization_barrier(
+                (iou, stab, boxes))
+        valid = ((iou > cfg.pred_iou_thresh)
+                 & (stab >= cfg.stability_score_thresh))
+        if nms:
+            im = sam_amg_mod.box_iou(boxes, boxes)
+            T = iou.shape[0]
+            same = jnp.ones((T, T), bool)
+            keep = sam_amg_mod.nms_masked(im, iou, valid, same,
+                                          cfg.box_nms_thresh)
+        else:
+            keep = valid
+        if barrier:
+            keep = jax.lax.optimization_barrier(keep)
+        K = cfg.max_proposals
+        order = jnp.argsort(-jnp.where(keep, iou, -jnp.inf))[:K]
+        masks = seg._masks_for_impl(v, e, p[order // 3],
+                                    (order % 3).astype(jnp.int32),
+                                    Ry, Rx, hs, ws, h_in, w_in)
+        return jnp.sum(masks) + jnp.sum(keep[order]) + jnp.sum(boxes[order])
+
+    for name, barrier, nms in (("amgz.nobarrier_nms", False, True),
+                               ("amgz.nonms", False, False)):
+        g = jax.jit(lambda v, e, p, b=barrier, n=nms: propose_like(
+            v, e, p, b, n))
+        report(name, timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)),
+               per=1)
+
+
+# ---------------------------------------------------------------------- match
+
+@exp("match")
+def exp_match():
+    """ISM match stage decomposition at capacity 128: full fused score
+    program (adaptive while_loop describe) vs describe alone vs an
+    unrolled describe (Python chunk loop, lax.cond-gated per chunk for
+    adaptivity) fused with the scores."""
+    from sam6d_tpu.core.config import ISMConfig, SAMConfig
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+
+    rng = np.random.RandomState(0)
+    P = 128
+    cfg = ISMConfig(sam=SAMConfig(max_proposals=P))
+    pipe = ISMPipeline(cfg, dinov2_variables="eval_shape",
+                       dtype=jnp.bfloat16)
+    H, W = 480, 640
+    rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(P, H, W) > 0.9).astype(np.float32))
+    boxes_np = np.zeros((P, 4), np.float32)
+    boxes_np[:, 0] = rng.randint(0, W // 2, P)
+    boxes_np[:, 1] = rng.randint(0, H // 2, P)
+    boxes_np[:, 2] = boxes_np[:, 0] + rng.randint(20, W // 2, P)
+    boxes_np[:, 3] = boxes_np[:, 1] + rng.randint(20, H // 2, P)
+    boxes = jnp.asarray(boxes_np)
+    valid = jnp.ones((P,), bool)
+    depth = jnp.asarray((rng.rand(H, W) * 1000).astype(np.float32))
+    Kmat = jnp.asarray(np.array([[600.0, 0, 320], [0, 600.0, 240],
+                                 [0, 0, 1]], np.float32))
+    d = cfg.dinov2
+    ref_desc = jnp.asarray(rng.rand(1, 42, d.embed_dim).astype(np.float32))
+    n_patch = (d.img_size // d.patch_size) ** 2
+    ref_appe = jnp.asarray(
+        rng.rand(1, 42, n_patch, d.embed_dim).astype(np.float32))
+    poses_R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
+    clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
+
+    args = (masks, boxes, valid, depth, Kmat, jnp.float32(1.0),
+            ref_desc, ref_appe, poses_R, clouds)
+
+    g = jax.jit(lambda v, r, *a: jnp.sum(pipe._score_frame_impl(
+        v, r, *a, apply_nms=True)["scores"]))
+    report("match.full128",
+           timed(lambda i: g(pipe.dinov2_vars, rgb01 + i * 1e-7, *args)), per=1)
+
+    # describe alone (adaptive while_loop, all 128 needed)
+    g = jax.jit(lambda v, r, m, b: jnp.sum(pipe._describe_impl(
+        v, r, m, b, jnp.int32(P))[0]))
+    report("match.describe_while128",
+           timed(lambda i: g(pipe.dinov2_vars, rgb01 + i * 1e-7, masks,
+                             boxes.astype(jnp.int32))), per=1)
+
+    # unrolled describe: Python loop over chunks, each behind lax.cond
+    from sam6d_tpu.models.dinov2 import masked_patch_descriptors
+    from sam6d_tpu.ops.images import (masked_crop_resize_pad_nearest,
+                                      normalize_imagenet)
+    chunk = d.chunk_size
+
+    def describe_unrolled(v, rgb01_, masks_, boxes_, n_needed):
+        rgb = normalize_imagenet(rgb01_)
+        crops, mask_crops = masked_crop_resize_pad_nearest(
+            rgb, masks_, boxes_, d.img_size)
+        n_chunks = P // chunk
+        cls_l, patch_l = [], []
+        shapes = jax.eval_shape(
+            lambda x: pipe.dinov2.apply(v, x), crops[:chunk])
+        for c in range(n_chunks):
+            x = jax.lax.dynamic_slice_in_dim(crops, c * chunk, chunk, 0)
+            cls_c, patch_c = jax.lax.cond(
+                n_needed > c * chunk,
+                lambda x: pipe.dinov2.apply(v, x),
+                lambda x: (jnp.zeros(shapes[0].shape, shapes[0].dtype),
+                           jnp.zeros(shapes[1].shape, shapes[1].dtype)),
+                x)
+            cls_l.append(cls_c)
+            patch_l.append(patch_c)
+        cls = jnp.concatenate(cls_l)
+        patch = jnp.concatenate(patch_l)
+        patch = masked_patch_descriptors(patch, mask_crops, d.patch_size,
+                                         d.validity_thresh)
+        return cls, patch
+
+    g = jax.jit(lambda v, r, m, b: jnp.sum(describe_unrolled(
+        v, r, m, b, jnp.int32(P))[0]))
+    report("match.describe_unrolled128",
+           timed(lambda i: g(pipe.dinov2_vars, rgb01 + i * 1e-7, masks,
+                             boxes.astype(jnp.int32))), per=1)
+    g48 = jax.jit(lambda v, r, m, b: jnp.sum(
+        describe_unrolled(v, r, m, b, jnp.int32(48))[0]))
+    report("match.describe_unrolled48",
+           timed(lambda i: g48(pipe.dinov2_vars, rgb01 + i * 1e-7, masks,
+                               boxes.astype(jnp.int32))), per=1)
 
 
 if __name__ == "__main__":

@@ -172,6 +172,33 @@ def test_nms_masked_greedy():
     np.testing.assert_array_equal(keep, [True, False, True, False])
 
 
+def test_nms_masked_matches_sequential_greedy(rng):
+    """The parallel fixed-point NMS must equal sequential greedy NMS on
+    randomized dense-overlap problems (incl. groups, invalids, ties)."""
+    for trial in range(8):
+        N = 96
+        iou = rng.rand(N, N).astype(np.float32)
+        iou = (iou + iou.T) / 2
+        np.fill_diagonal(iou, 1.0)
+        # quantized scores force ties; argsort(-s) order defines greedy
+        scores = np.round(rng.rand(N).astype(np.float32), 1)
+        valid = rng.rand(N) > 0.25
+        group = rng.randint(0, 3, N)
+        same = group[:, None] == group[None, :]
+        thresh = 0.6
+
+        order = np.argsort(-np.where(valid, scores, -np.inf), kind="stable")
+        keep_ref = np.zeros(N, bool)
+        for cand in order:
+            overlap = (iou[cand] > thresh) & same[cand] & keep_ref
+            keep_ref[cand] = valid[cand] and not overlap.any()
+
+        got = np.asarray(nms_masked(
+            jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(valid),
+            jnp.asarray(same), thresh))
+        np.testing.assert_array_equal(got, keep_ref, err_msg=f"trial {trial}")
+
+
 def test_native_rle_matches_python(rng):
     from sam6d_tpu.native import rle_encode_counts, rle_decode_counts, build
     assert build() is not None, "C toolchain expected in this environment"

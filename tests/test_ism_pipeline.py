@@ -49,6 +49,22 @@ def test_bilinear_matrix_interpolates():
     np.testing.assert_allclose(M2.sum(1), 1.0, atol=1e-6)
 
 
+def test_resize_logits_block_matches_plain(rng):
+    """Block-layout resize (one transpose + two GEMMs) must equal the
+    plain resize of the unpacked (4g, 4g) low-res logits."""
+    seg = SAMSegmentor(tiny_sam_cfg(), seed=0)
+    B, K, g = 2, 3, 8
+    mb = jnp.asarray(rng.randn(B, 4 * K, 4 * g * g).astype(np.float32))
+    Ry = jnp.asarray(rng.rand(17, 4 * g).astype(np.float32))
+    Rx = jnp.asarray(rng.rand(23, 4 * g).astype(np.float32))
+    got = np.asarray(seg._resize_logits_block(mb, Ry, Rx))
+    # unpack by the documented index map: row 4i+2p+r, col 4j+2q+s
+    m = np.asarray(mb).reshape(B, K, 2, 2, g, g, 2, 2)
+    M = m.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(B, K, 4 * g, 4 * g)
+    want = np.asarray(seg._resize_logits(jnp.asarray(M), Ry, Rx))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def segmentor():
     return SAMSegmentor(tiny_sam_cfg(), seed=0)
