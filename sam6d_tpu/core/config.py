@@ -151,6 +151,11 @@ class SAMConfig:
     # longer be selected (irrelevant at max_proposals << T). Caps the
     # sequential NMS loop and the (T, T) IoU matrix. 0 = no truncation.
     amg_nms_topk: int = 3072
+    # flatten the encoder 32-block scan at lowering: scans sharing a fused
+    # program with the AMG tail's (T, T) ops pay the scan-coexistence tax
+    # (PERFORMANCE.md round 3); irrelevant when the encoder runs as its
+    # own dispatch
+    encoder_unroll: bool = False
 
 
 @dataclass(frozen=True)

@@ -140,13 +140,14 @@ def mask_iou_matrix(masks: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-8)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("unroll_rounds",))
 def nms_masked(
     iou: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     same_group: jnp.ndarray,
     thresh: float,
+    unroll_rounds: int = 0,
 ) -> jnp.ndarray:
     """Greedy NMS over a fixed-capacity set, returning a keep mask.
 
@@ -202,8 +203,16 @@ def nms_masked(
 
     # invalid slots start suppressed: they are never kept and must not
     # block other candidates from deciding
-    kept, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((N,), bool), ~valid))
+    state = (jnp.zeros((N,), bool), ~valid)
+    # `unroll_rounds` Python-unrolled rounds run first: inside large fused
+    # programs a while_loop whose body carries (N, N) operands drags the
+    # whole program into the scan-coexistence slow mode (PERFORMANCE.md
+    # round 3); typical suppression chains resolve in < 10 rounds, so the
+    # while_loop below almost always sees trip count 0. The fixed point is
+    # unchanged — body() is idempotent on decided candidates.
+    for _ in range(unroll_rounds):
+        state = body(state)
+    kept, _ = jax.lax.while_loop(cond, body, state)
     return kept
 
 

@@ -78,7 +78,8 @@ class SAMSegmentor:
             embed_dim=cfg.encoder_embed_dim, depth=cfg.encoder_depth,
             num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
             global_attn_indexes=cfg.encoder_global_attn_indexes,
-            out_chans=cfg.prompt_embed_dim, use_flash=use_flash, dtype=dtype)
+            out_chans=cfg.prompt_embed_dim, use_flash=use_flash,
+            unroll=cfg.encoder_unroll, dtype=dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=cfg.prompt_embed_dim,
             input_image_size=(cfg.img_size, cfg.img_size),

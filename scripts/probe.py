@@ -1057,12 +1057,22 @@ def exp_amgy():
 
 @exp("amgz")
 def exp_amgz():
-    """Residual propose composition drag: does an optimization_barrier
-    between score pass / NMS / materialization recover the sum of parts?
-    Plus a no-NMS floor."""
+    """Residual propose composition drag: which NMS-tail construct drags
+    the fused propose program ~45 ms past its sum of parts? Variants of
+    the FULL propose shape (score + NMS + top-K + mask materialization),
+    one process, cheapest-compile first:
+
+      nonms          — no NMS at all (composition floor)
+      fixed16        — 16 unrolled fixed-point rounds, NO while_loop
+      unroll12_while — 12 unrolled rounds + while_loop fallback (exact)
+      while          — production while_loop fixed point (exact)
+      topk1024       — while NMS on the top-1024 score prefix
+      nomasks        — while NMS, no mask materialization (masks_for cost)
+    """
     from sam6d_tpu.core.config import SAMConfig
     from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
     import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+    from sam6d_tpu.ops import masks as masks_mod
 
     rng = np.random.RandomState(0)
     cfg = SAMConfig()
@@ -1072,37 +1082,105 @@ def exp_amgz():
     seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
     Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
 
-    def propose_like(v, e, p, barrier, nms):
+    def nms_fixed_rounds(im, sc, va, th, rounds):
+        """fixed-point NMS body unrolled `rounds` times, no while_loop."""
+        N = sc.shape[0]
+        s = jnp.where(va, sc, -jnp.inf)
+        idx = jnp.arange(N)
+        beats = (s[None, :] > s[:, None]) | (
+            (s[None, :] == s[:, None]) & (idx[None, :] < idx[:, None]))
+        Of = ((im > th) & beats).astype(jnp.bfloat16)
+        kept, supp = jnp.zeros((N,), bool), ~va
+        for _ in range(rounds):
+            und = ~kept & ~supp
+            S = jnp.stack([(~supp).astype(jnp.bfloat16),
+                           kept.astype(jnp.bfloat16)], axis=1)
+            R = jax.lax.dot_general(Of, S, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            kept = kept | (und & ~(R[:, 0] > 0))
+            supp = supp | (und & (R[:, 1] > 0))
+        return kept
+
+    def propose_like(v, e, p, mode):
         iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
                                                hs, ws, h_in, w_in)
-        if barrier:
-            iou, stab, boxes = jax.lax.optimization_barrier(
-                (iou, stab, boxes))
         valid = ((iou > cfg.pred_iou_thresh)
                  & (stab >= cfg.stability_score_thresh))
-        if nms:
-            im = sam_amg_mod.box_iou(boxes, boxes)
-            T = iou.shape[0]
-            same = jnp.ones((T, T), bool)
-            keep = sam_amg_mod.nms_masked(im, iou, valid, same,
-                                          cfg.box_nms_thresh)
+        T = iou.shape[0]
+        iou_t, valid_t, boxes_t, top = iou, valid, boxes, None
+        if mode == "topk1024":
+            _, top = jax.lax.top_k(jnp.where(valid, iou, -jnp.inf), 1024)
+            iou_t, valid_t, boxes_t = iou[top], valid[top], boxes[top]
+            T = 1024
+        if mode == "nonms":
+            keep = valid_t
+        elif mode == "fixed16":
+            im = sam_amg_mod.box_iou(boxes_t, boxes_t)
+            keep = nms_fixed_rounds(im, iou_t, valid_t,
+                                    cfg.box_nms_thresh, 16)
         else:
-            keep = valid
-        if barrier:
-            keep = jax.lax.optimization_barrier(keep)
+            im = sam_amg_mod.box_iou(boxes_t, boxes_t)
+            same = jnp.ones((T, T), bool)
+            keep = masks_mod.nms_masked(
+                im, iou_t, valid_t, same, cfg.box_nms_thresh,
+                unroll_rounds=12 if mode == "unroll12_while" else 0)
         K = cfg.max_proposals
-        order = jnp.argsort(-jnp.where(keep, iou, -jnp.inf))[:K]
-        masks = seg._masks_for_impl(v, e, p[order // 3],
-                                    (order % 3).astype(jnp.int32),
-                                    Ry, Rx, hs, ws, h_in, w_in)
-        return jnp.sum(masks) + jnp.sum(keep[order]) + jnp.sum(boxes[order])
+        order_t = jnp.argsort(-jnp.where(keep, iou_t, -jnp.inf))[:K]
+        order = top[order_t] if top is not None else order_t
+        acc = jnp.sum(keep[order_t]) + jnp.sum(boxes[order])
+        if mode != "nomasks":
+            masks = seg._masks_for_impl(v, e, p[order // 3],
+                                        (order % 3).astype(jnp.int32),
+                                        Ry, Rx, hs, ws, h_in, w_in)
+            acc = acc + jnp.sum(masks)
+        return acc
 
-    for name, barrier, nms in (("amgz.nobarrier_nms", False, True),
-                               ("amgz.nonms", False, False)):
-        g = jax.jit(lambda v, e, p, b=barrier, n=nms: propose_like(
-            v, e, p, b, n))
-        report(name, timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)),
+    for mode in ("nonms", "fixed16", "unroll12_while", "while",
+                 "topk1024", "nomasks"):
+        g = jax.jit(lambda v, e, p, m=mode: propose_like(v, e, p, m))
+        report(f"amgz.{mode}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
+# ----------------------------------------------------------------------- seg
+
+@exp("seg")
+def exp_seg():
+    """Full seg stage (encoder + propose in ONE program — the bench_seg /
+    production shape): does the encoder 32-block scan pay the
+    scan-coexistence tax next to the AMG tail's (T, T) ops? scan vs
+    unrolled encoder, encoder alone as the floor."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    frame = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    results = {}
+    for name, unroll in (("seg.fused_scan", False),
+                         ("seg.fused_unroll", True)):
+        cfg = SAMConfig(max_proposals=128, pred_iou_thresh=-10.0,
+                        stability_score_thresh=0.0, encoder_unroll=unroll)
+        seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+        canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
+        Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+        canvas_j = jnp.asarray(canvas[None])
+
+        def run(v, c):
+            masks, boxes, valid, iou = seg._propose_impl(
+                v, seg.encoder.apply(v["image_encoder"], c)[0],
+                pts, Ry, Rx, hs, ws, h_in, w_in)
+            return (jnp.sum(masks) + jnp.sum(boxes) + jnp.sum(valid)
+                    + jnp.sum(iou))
+
+        prog = jax.jit(run)
+        report(name, timed(lambda i: prog(seg.vars, canvas_j + i * 1e-6)),
                per=1)
+        if not unroll:
+            enc = jax.jit(lambda v, c: jnp.sum(
+                seg.encoder.apply(v["image_encoder"], c)))
+            report("seg.enc_only_scan",
+                   timed(lambda i: enc(seg.vars, canvas_j + i * 1e-6)),
+                   per=1)
 
 
 # ---------------------------------------------------------------------- match

@@ -197,6 +197,13 @@ def test_nms_masked_matches_sequential_greedy(rng):
             jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(valid),
             jnp.asarray(same), thresh))
         np.testing.assert_array_equal(got, keep_ref, err_msg=f"trial {trial}")
+        # unrolled-rounds variant: identical fixed point regardless of how
+        # many rounds run before the while_loop fallback
+        got_u = np.asarray(nms_masked(
+            jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(valid),
+            jnp.asarray(same), thresh, unroll_rounds=5))
+        np.testing.assert_array_equal(got_u, keep_ref,
+                                      err_msg=f"trial {trial} unrolled")
 
 
 def test_native_rle_matches_python(rng):
