@@ -173,6 +173,12 @@ class DINOv2Config:
     # ceil(n_valid/chunk) chunks, so smaller chunks waste fewer crops
     # (the reference also uses 16, for GPU memory reasons)
     chunk_size: int = 16
+    # unroll the adaptive describe chunk loop: Python-unrolled chunks each
+    # gated by lax.cond instead of one lax.while_loop — same outputs; the
+    # while_loop (whose body is a full DINOv2 forward) coexisting with the
+    # scoring program's other ops is a scan-coexistence suspect
+    # (PERFORMANCE.md round 3)
+    adaptive_unroll: bool = False
     descriptor_width_size: int = 640
     validity_thresh: float = 0.5    # patch validity via avgpool(mask) > 0.5
 

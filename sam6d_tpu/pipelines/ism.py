@@ -93,6 +93,23 @@ class ISMPipeline:
         if n_needed is None:
             cls, patch = jax.lax.map(
                 lambda x: self.dinov2.apply(v, x), xs)
+        elif self.cfg.dinov2.adaptive_unroll:
+            # Python-unrolled chunks, each gated by lax.cond: identical
+            # outputs to the while_loop below, but no loop construct with
+            # a model-forward body in the fused program
+            shapes = jax.eval_shape(lambda x: self.dinov2.apply(v, x), xs[0])
+            cls_l, patch_l = [], []
+            for c in range(n_chunks):
+                cc, pc = jax.lax.cond(
+                    n_needed.astype(jnp.int32) > c * chunk,
+                    lambda x: self.dinov2.apply(v, x),
+                    lambda x: (jnp.zeros(shapes[0].shape, shapes[0].dtype),
+                               jnp.zeros(shapes[1].shape, shapes[1].dtype)),
+                    xs[c])
+                cls_l.append(cc)
+                patch_l.append(pc)
+            cls = jnp.stack(cls_l)
+            patch = jnp.stack(patch_l)
         else:
             trips = jnp.minimum(
                 (n_needed.astype(jnp.int32) + chunk - 1) // chunk, n_chunks)

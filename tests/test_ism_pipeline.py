@@ -166,6 +166,23 @@ def test_adaptive_describe_matches_full_for_valid_prefix(rng):
     # invalid slots can never be selected
     assert not np.asarray(out["valid"])[5:].any()
 
+    # unrolled adaptive describe (Python chunks behind lax.cond) must be
+    # chunk-for-chunk identical to the while_loop formulation
+    from dataclasses import replace
+    pipe_u = ISMPipeline(replace(
+        cfg, dinov2=replace(cfg.dinov2, adaptive_unroll=True)))
+    imgs = jnp.asarray(
+        rng.rand(K, d.img_size, d.img_size, 3).astype(np.float32))
+    for n in (0, 5, 9, K):
+        cls_w, patch_w = pipe._dino_forward_chunked(
+            pipe.dinov2_vars, imgs, jnp.int32(n))
+        cls_u, patch_u = pipe_u._dino_forward_chunked(
+            pipe.dinov2_vars, imgs, jnp.int32(n))
+        np.testing.assert_allclose(np.asarray(cls_u), np.asarray(cls_w),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(patch_u), np.asarray(patch_w),
+                                   atol=1e-6)
+
 
 @pytest.mark.slow
 def test_rank_mode_equals_exact_when_i2t_is_zero(rng):

@@ -33,6 +33,14 @@ def test_sam_encoder_parity(rng):
     got = enc.apply({"params": params}, jnp.array(x))
     np.testing.assert_allclose(
         np.asarray(got), want.permute(0, 2, 3, 1).numpy(), atol=3e-4)
+    # unrolled lowering (encoder_unroll): same param tree, same outputs
+    enc_u = SAMImageEncoder(img_size=64, patch_size=16, embed_dim=32, depth=3,
+                            num_heads=4, window_size=3,
+                            global_attn_indexes=(1,), out_chans=16,
+                            unroll=True)
+    got_u = enc_u.apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(got),
+                               atol=1e-5)
 
 
 def test_prompt_encoder_parity(rng):
