@@ -198,9 +198,6 @@ def flash_attention_relpos(
     idx_w = np.arange(W)[:, None] - np.arange(W)[None, :] + (W - 1)
     Rh = rel_pos_h[jnp.asarray(idx_h)]  # (H, H, hd)
     Rw = rel_pos_w[jnp.asarray(idx_w)]  # (W, W, hd)
-    qg = q.reshape(B, heads, H, W, hd)
-    rel_h_q = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh).reshape(B, heads, N, H)
-    rel_w_q = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw).reshape(B, heads, N, W)
 
     # one-hot row/col encodings of the key positions
     rows = np.repeat(np.arange(H), W)
@@ -210,20 +207,45 @@ def flash_attention_relpos(
 
     Nk_pad = _round_up(N, 128)
     need_mask = Nk_pad != N
+    daug = hd + H + W + (1 if need_mask else 0)
+    Da = _round_up(daug, 128)
 
-    parts_q = [q * jnp.asarray(scale, dt), rel_h_q.astype(dt),
-               rel_w_q.astype(dt)]
+    if N <= 512:
+        # windowed shapes: build q_aug with ONE lane-clean batched GEMM.
+        # q_aug[p] = q[p] @ T[p], T[p] = [scale*I | Rh[i_p].T | Rw[j_p].T]
+        # (hd, Da) — the two thin (minor-dim H=14) rel-pos einsums plus the
+        # concat/pad this replaces ran at ~3% MXU utilization and cost
+        # ~12 ms/frame across 28 windowed blocks (PERFORMANCE.md round 3).
+        eyeq = jnp.eye(hd, dtype=dt) * jnp.asarray(scale, dt)
+        T = jnp.concatenate([
+            jnp.broadcast_to(eyeq, (N, hd, hd)),
+            jnp.transpose(Rh, (0, 2, 1))[jnp.asarray(rows)].astype(dt),
+            jnp.transpose(Rw, (0, 2, 1))[jnp.asarray(cols)].astype(dt),
+        ], axis=-1)                                  # (N, hd, hd+H+W)
+        T = _pad_axis(T, 2, Da)
+        if need_mask:
+            T = T.at[:, :, daug - 1].set(0)  # mask column filled below
+        q_aug = jnp.einsum("bhpc,pcd->bhpd", q, T)
+        if need_mask:
+            one = jnp.zeros((Da,), dt).at[daug - 1].set(1)
+            q_aug = q_aug + one
+    else:
+        qg = q.reshape(B, heads, H, W, hd)
+        rel_h_q = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh).reshape(
+            B, heads, N, H)
+        rel_w_q = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw).reshape(
+            B, heads, N, W)
+        parts_q = [q * jnp.asarray(scale, dt), rel_h_q.astype(dt),
+                   rel_w_q.astype(dt)]
+        if need_mask:
+            parts_q.append(jnp.ones((B, heads, N, 1), dt))
+        q_aug = _pad_axis(jnp.concatenate(parts_q, axis=-1), 3, Da)
+
     parts_k = [k, jnp.broadcast_to(eye_h, (B, heads, N, H)).astype(dt),
                jnp.broadcast_to(eye_w, (B, heads, N, W)).astype(dt)]
     if need_mask:
-        parts_q.append(jnp.ones((B, heads, N, 1), dt))
         parts_k.append(jnp.zeros((B, heads, N, 1), dt))
-    q_aug = jnp.concatenate(parts_q, axis=-1)
-    k_aug = jnp.concatenate(parts_k, axis=-1)
-
-    Da = _round_up(q_aug.shape[-1], 128)
-    q_aug = _pad_axis(q_aug, 3, Da)
-    k_aug = _pad_axis(k_aug, 3, Da)
+    k_aug = _pad_axis(jnp.concatenate(parts_k, axis=-1), 3, Da)
     if need_mask:
         pad_rows = jnp.zeros((B, heads, Nk_pad - N, Da), dt)
         pad_rows = pad_rows.at[..., hd + H + W].set(jnp.asarray(_NEG_BIG, dt))
