@@ -156,7 +156,9 @@ def masked_crop_resize_pad_nearest(
         ys = jnp.clip(y_src, 0, H - 1)
         xs = jnp.clip(x_src, 0, W - 1)
         inside = (y_in[:, None] & x_in[None, :]).astype(image.dtype)
-        mask_patch = mask_p[ys][:, xs] * inside
+        # masks may arrive as device bool (the AMG output) — cast the
+        # gathered patch, not the (N, H, W) stack
+        mask_patch = mask_p[ys][:, xs].astype(image.dtype) * inside
         rgb_patch = image[ys][:, xs] * mask_patch[..., None]
         return rgb_patch, mask_patch
 

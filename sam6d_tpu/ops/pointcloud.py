@@ -41,7 +41,8 @@ def masked_depth_mean_translation(
     # the reference multiplies the (possibly fractional, bilinearly resized)
     # mask INTO the depth before backprojection, then averages over Z > 0 —
     # fractional mask pixels contribute scaled-down points; replicated.
-    Z = masks * depth[None, :, :] * depth_scale / 1000.0      # (N, H, W)
+    Z = (masks.astype(depth.dtype) * depth[None, :, :]
+         * depth_scale / 1000.0)                              # (N, H, W)
     H, W = depth.shape
     u = jnp.arange(W, dtype=Z.dtype)[None, None, :]
     v = jnp.arange(H, dtype=Z.dtype)[None, :, None]

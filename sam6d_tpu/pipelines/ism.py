@@ -337,7 +337,8 @@ class ISMPipeline:
             # demo path skips them (run_inference_custom.py)
             box_areas = ((boxes[:, 2] - boxes[:, 0])
                          * (boxes[:, 3] - boxes[:, 1])) / img_area
-            mask_areas = jnp.sum(masks, axis=(1, 2)) / img_area
+            mask_areas = jnp.sum(masks.astype(jnp.float32),
+                                 axis=(1, 2)) / img_area
             valid = valid & (box_areas > cfg.post.min_box_size ** 2)
             valid = valid & (mask_areas > cfg.post.min_mask_size)
 
@@ -404,9 +405,13 @@ class ISMPipeline:
             dev = self.segmentor.generate_masks_device(rgb)
             H0, W0 = dev["orig_size"]
             hs, ws = dev["seg_size"]
-            masks = dev["masks"].astype(jnp.float32)
+            # keep masks in their device bool storage (39 MB at capacity
+            # 128) — an eager fp32 cast materializes 157 MB and costs an
+            # extra dispatch; consumers cast lazily inside fused ops
+            masks = dev["masks"]
             boxes = dev["boxes"]
             if (H0, W0) != (hs, ws):
+                masks = masks.astype(jnp.float32)
                 from .sam_amg import bilinear_matrix
                 My = jnp.asarray(bilinear_matrix(H0, hs))
                 Mx = jnp.asarray(bilinear_matrix(W0, ws))
