@@ -962,10 +962,17 @@ class MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
-                 rank_only=False):
+                 rank_only=False, sel_channel=None):
         """image_embeddings: (H, W, C) one image; image_pe: (H, W, C);
         sparse_prompt: (B, Np, C) per-prompt tokens; dense_prompt: (H, W, C).
         Returns (masks (B, 4, 4H, 4W) logits, iou_pred (B, 4)).
+
+        sel_channel: optional (B,) int32 mask-token index per prompt; when
+        given, only that channel's mask is produced ((B, 1, ...) /
+        (B, 4, 4N) in block order). The selection happens on the tiny
+        (B, K, C//8) hypernetwork vectors — exact, and it removes 3/4 of
+        the mask-tail contraction + write plus the downstream (B, 12, 4N)
+        row gather (the AMG re-decode knows its channel up front).
 
         The image side enters the two-way transformer with batch 1 (all
         prompts share image + dense no-mask embedding) and is only
@@ -1011,6 +1018,12 @@ class MaskDecoder(nn.Module):
             [HyperMLP(C, C // 8, dtype=self.dtype, name=f"hyper_mlps_{i}")(
                 mask_tokens_out[:, i]) for i in range(self.num_mask_tokens)],
             axis=1)  # (B, 4, C//8)
+        if sel_channel is not None:
+            # one-hot contraction over the 4 tokens: exact (0/1 weights,
+            # single nonzero term), layout-robust on TPU
+            oh = jax.nn.one_hot(sel_channel, self.num_mask_tokens,
+                                dtype=hyper.dtype)
+            hyper = jnp.einsum("bkc,bk->bc", hyper, oh)[:, None, :]
         Bs = B if src is None else src.shape[0]  # 1 in rank mode
         if self.block_layout:
             # The 2x ConvTranspose(2,2) chain as two plain GEMMs whose
@@ -1057,7 +1070,7 @@ class MaskDecoder(nn.Module):
                 else:
                     m = jnp.einsum("bkc,bijpqrsc->bkijpqrs", hyper, x)
                 m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7)  # (b,k, i,p,r, j,q,s)
-                masks = m.reshape(B, self.num_mask_tokens, 4 * H, 4 * W)
+                masks = m.reshape(B, hyper.shape[1], 4 * H, 4 * W)
         else:
             x = src.reshape(Bs, H, W, C)
             x = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2),

@@ -141,17 +141,22 @@ class SAMSegmentor:
 
     # -------------------------------------------------------------- internals
 
-    def _decode_chunk(self, v, embedding, dense_pe, pts, rank_only=False):
+    def _decode_chunk(self, v, embedding, dense_pe, pts, rank_only=False,
+                      sel_channel=None):
         """pts: (chunk, 2) coords in the 1024-frame. Returns
         (block-layout masks (chunk, 3*4, 4*grid^2) — rows (k, rs), channel
         0 dropped (multimask slice, reference mask_decoder.py:101-107) —
-        and iou (chunk, 3))."""
+        and iou (chunk, 3)). With `sel_channel` (chunk,) in {0,1,2}, only
+        that multimask channel is decoded: masks (chunk, 4, 4*grid^2)."""
         labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
         sparse, dense = self.prompt_encoder.apply(
             v["prompt_encoder"], pts[:, None, :], labels)
         masks, iou = self.mask_decoder.apply(
             v["mask_decoder"], embedding, dense_pe, sparse, dense,
-            rank_only=rank_only)
+            rank_only=rank_only,
+            sel_channel=None if sel_channel is None else sel_channel + 1)
+        if sel_channel is not None:
+            return masks, iou[:, 1:]
         return masks[:, 4:, :], iou[:, 1:]
 
     def _resize_logits(self, masks, Ry, Rx):
@@ -270,10 +275,12 @@ class SAMSegmentor:
 
         def one(args):
             pts, ch = args
-            masks, _ = self._decode_chunk(v, embedding, dense_pe, pts)
-            # select the 4 (rs) rows of the chosen channel: rows ch*4..+3
-            rows = ch[:, None] * 4 + jnp.arange(4)[None, :]
-            low = jnp.take_along_axis(masks, rows[:, :, None], axis=1)
+            # channel-selected decode: the hypernetwork contracts only the
+            # chosen channel (selection on the tiny (chunk, 4, 32) hyper
+            # vectors), so the (chunk, 12, 4N) mask tensor and the row
+            # gather that picked 4 of its 12 rows never exist
+            low, _ = self._decode_chunk(v, embedding, dense_pe, pts,
+                                        sel_channel=ch)
             hi = self._resize_logits_block(low, Ry, Rx)[:, 0]
             return hi > 0.0
 

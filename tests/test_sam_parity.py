@@ -173,6 +173,41 @@ def test_mask_decoder_block_layout_matches_convtranspose(rng):
                                atol=2e-5)
 
 
+def test_mask_decoder_sel_channel_matches_full(rng):
+    """sel_channel decode == the matching channel of the full decode, in
+    both block-masks and row-major layouts."""
+    import jax
+    import jax.numpy as jnp
+    from sam6d_tpu.models.sam import MaskDecoder
+
+    g, C, B = 8, 32, 5
+    emb = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(B, 2, C).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sel = jnp.asarray(rng.randint(0, 4, B).astype(np.int32))
+    for block_masks in (False, True):
+        dec = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                          twoway_mlp_dim=64, block_layout=True,
+                          block_masks=block_masks)
+        v = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+        full_m, full_iou = dec.apply(v, emb, pe, sparse, dense)
+        sel_m, sel_iou = dec.apply(v, emb, pe, sparse, dense,
+                                   sel_channel=sel)
+        np.testing.assert_allclose(np.asarray(sel_iou), np.asarray(full_iou),
+                                   atol=1e-6)
+        sel_np = np.asarray(sel)
+        if block_masks:
+            want = np.stack([np.asarray(full_m)[b, 4 * c:4 * c + 4]
+                             for b, c in enumerate(sel_np)])
+            got = np.asarray(sel_m)
+        else:
+            want = np.stack([np.asarray(full_m)[b, c]
+                             for b, c in enumerate(sel_np)])[:, None]
+            got = np.asarray(sel_m)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_factored_keys_matches_standard(rng):
     """The factored image-side transformer (a*S + P@U carried through both
