@@ -151,6 +151,11 @@ class SAMConfig:
     # longer be selected (irrelevant at max_proposals << T). Caps the
     # sequential NMS loop and the (T, T) IoU matrix. 0 = no truncation.
     amg_nms_topk: int = 3072
+    # Python-unrolled fixed-point NMS rounds before the while_loop fallback
+    # (ops/masks.nms_masked): >0 moves the typical <10 suppression rounds
+    # out of the while_loop so the fused propose program does not carry a
+    # (T, T)-operand loop; the fallback keeps exactness on long chains
+    amg_nms_unroll_rounds: int = 0
     # flatten the encoder 32-block scan at lowering: scans sharing a fused
     # program with the AMG tail's (T, T) ops pay the scan-coexistence tax
     # (PERFORMANCE.md round 3); irrelevant when the encoder runs as its

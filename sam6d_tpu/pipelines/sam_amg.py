@@ -334,7 +334,8 @@ class SAMSegmentor:
             iou_t, valid_t, boxes_t = iou, valid, boxes
         iou_mat = box_iou(boxes_t, boxes_t)
         same = jnp.ones((T, T), bool)
-        keep = nms_masked(iou_mat, iou_t, valid_t, same, cfg.box_nms_thresh)
+        keep = nms_masked(iou_mat, iou_t, valid_t, same, cfg.box_nms_thresh,
+                          unroll_rounds=cfg.amg_nms_unroll_rounds)
 
         K = cfg.max_proposals
         score = jnp.where(keep, iou_t, -jnp.inf)
