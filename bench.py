@@ -154,6 +154,29 @@ def bench_seg(dtype, proposals: int):
     return timed(body)
 
 
+def bench_fastsam(dtype):
+    """The reference's fast segmentor backend (FastSAM-x / YOLOv8x-seg):
+    fused predict + NMS + proto-mask assembly, consume-everything."""
+    from sam6d_tpu.pipelines.fastsam import FastSAMSegmentor
+
+    seg = FastSAMSegmentor(dtype=dtype)
+    rng = np.random.RandomState(0)
+    canvas = jnp.asarray(rng.rand(1, seg.cfg.imgsz, seg.cfg.imgsz, 3)
+                         .astype(np.float32))
+
+    def run(v, c):
+        boxes, scores, keep, m = seg._predict_impl(v, c, h_in=480, w_in=640)
+        return (jnp.sum(boxes) + jnp.sum(scores) + jnp.sum(keep)
+                + jnp.sum(m))
+
+    prog = jax.jit(run)
+
+    def body(i):
+        return prog(seg.vars, canvas + i * 1e-6)
+
+    return timed(body)
+
+
 def bench_dino_match(dtype, proposals: int):
     from sam6d_tpu.core.config import ISMConfig, SAMConfig
     from sam6d_tpu.pipelines.ism import ISMPipeline
@@ -232,6 +255,15 @@ def main():
         extras[f"{name}_ms"] = round(t * 1e3, 2)
         total += t
         covered += f"+{name}"
+
+    if covered == "pem+seg+match" and time.time() - _T0 < budget:
+        _log("stage: fastsam (diagnostic)")
+        try:
+            t_fs = bench_fastsam(dtype)
+            extras["seg_fastsam_ms"] = round(t_fs * 1e3, 2)
+            _log(f"fastsam: {t_fs*1e3:.1f} ms")
+        except Exception as e:
+            _log(f"fastsam FAILED: {type(e).__name__}: {e}")
 
     metric = "e2e_frame_ms" if covered == "pem+seg+match" else f"{covered}_ms"
     ms = total * 1e3

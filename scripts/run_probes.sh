@@ -16,4 +16,6 @@ run 3600 python scripts/probe.py match
 run 3600 python scripts/probe.py pembits
 run 3600 python scripts/probe.py encbits
 run 7200 python scripts/probe.py seg
+run 7200 python scripts/bf16_budget.py
+run 3600 python bench.py
 echo "BATTERY DONE $(date)" >> "$log"
