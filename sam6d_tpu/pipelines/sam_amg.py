@@ -339,7 +339,9 @@ class SAMSegmentor:
 
         K = cfg.max_proposals
         score = jnp.where(keep, iou_t, -jnp.inf)
-        order_t = jnp.argsort(-score)[:K]
+        # top_k == stable argsort(-score)[:K] (ties broken by lower index)
+        # without sorting the full candidate list
+        _, order_t = jax.lax.top_k(score, min(K, score.shape[0]))
         sel_valid = keep[order_t]
         if order_t.shape[0] < K:
             # fewer candidates than capacity (coarse crop-cascade grids):
