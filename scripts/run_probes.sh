@@ -11,11 +11,11 @@ run() {
   timeout "$1" "${@:2}" >> "$log" 2>&1
   echo "=== rc=$? $(date +%H:%M:%S) ===" >> "$log"
 }
+run 5400 python bench.py
 run 7200 python scripts/probe.py amgz
 run 3600 python scripts/probe.py match
 run 3600 python scripts/probe.py pembits
 run 3600 python scripts/probe.py encbits
 run 7200 python scripts/probe.py seg
 run 7200 python scripts/bf16_budget.py
-run 3600 python bench.py
 echo "BATTERY DONE $(date)" >> "$log"
