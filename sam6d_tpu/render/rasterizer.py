@@ -27,10 +27,16 @@ _BIG = jnp.float32(1e30)
 
 def split_large_triangles(verts: np.ndarray, faces: np.ndarray,
                           proj_fn, max_px: float = TILE - 2.0,
-                          max_iter: int = 6) -> np.ndarray:
+                          max_iter: int = 6):
     """Host-side: subdivide faces whose projected bbox exceeds max_px (any
-    view among proj list). proj_fn: verts -> (V, 2) screen coords."""
+    view among proj list). proj_fn: verts -> (V, 2) screen coords.
+
+    Returns (verts, faces, parents): parents (V', 2) int32 maps every vertex
+    to the two vertices it bisects (original vertices map to themselves), so
+    callers can midpoint-interpolate any per-vertex attribute (colors, UVs)
+    by chaining parents through the split generations."""
     faces = faces.copy()
+    parents = np.stack([np.arange(len(verts))] * 2, axis=1).astype(np.int64)
     for _ in range(max_iter):
         xy = proj_fn(verts)
         tri = xy[faces]  # (F, 3, 2)
@@ -44,6 +50,7 @@ def split_large_triangles(verts: np.ndarray, faces: np.ndarray,
         v = verts
         new_faces = []
         new_verts = [v]
+        new_parents = [parents]
         next_id = len(v)
         for (a, b, c) in split:
             pts = xy[[a, b, c]]
@@ -53,12 +60,26 @@ def split_large_triangles(verts: np.ndarray, faces: np.ndarray,
             pair = [(a, b, c), (b, c, a), (c, a, b)][k]
             m = (v[pair[0]] + v[pair[1]]) / 2.0
             new_verts.append(m[None])
+            new_parents.append(np.asarray([[pair[0], pair[1]]], np.int64))
             new_faces.append((pair[0], next_id, pair[2]))
             new_faces.append((next_id, pair[1], pair[2]))
             next_id += 1
         verts = np.concatenate(new_verts, axis=0)
+        parents = np.concatenate(new_parents, axis=0)
         faces = np.concatenate([keep, np.asarray(new_faces, faces.dtype)], axis=0)
-    return verts, faces
+    return verts, faces, parents
+
+
+def interpolate_split_attrs(attr: np.ndarray, parents: np.ndarray) -> np.ndarray:
+    """Extend a per-vertex attribute (V0, A) to split vertices (V', A) by
+    averaging each new vertex's two parents (parents from
+    split_large_triangles; parent rows always precede their children)."""
+    out = np.empty((len(parents),) + attr.shape[1:], attr.dtype)
+    out[:len(attr)] = attr
+    for i in range(len(attr), len(parents)):
+        a, b = parents[i]
+        out[i] = 0.5 * (out[a] + out[b])
+    return out
 
 
 FACE_CHUNK = 4096

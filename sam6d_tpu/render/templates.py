@@ -18,11 +18,30 @@ from PIL import Image
 
 from ..data.mesh import Mesh, load_ply
 from .poses import template_cam_poses
-from .rasterizer import rasterize, split_large_triangles, TILE
+from .rasterizer import (rasterize, split_large_triangles,
+                         interpolate_split_attrs, TILE)
 
 # Blender default camera: 512x512, 50mm lens on a 36mm sensor
 RENDER_SIZE = 512
 RENDER_FOCAL = RENDER_SIZE * 50.0 / 36.0
+
+
+def _sample_texture(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Bilinear texture sampling at (u, v) in the OBJ/BOP convention
+    (v origin at the image bottom); out-of-range coordinates wrap."""
+    H, W = tex.shape[:2]
+    u = np.where((u < 0) | (u > 1), u - np.floor(u), u)
+    v = np.where((v < 0) | (v > 1), v - np.floor(v), v)
+    x = u * (W - 1)
+    y = (1.0 - v) * (H - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    return ((tex[y0, x0] * (1 - wx) + tex[y0, x1] * wx) * (1 - wy)
+            + (tex[y1, x0] * (1 - wx) + tex[y1, x1] * wx) * wy)
 
 
 def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
@@ -73,8 +92,15 @@ def render_templates(
                   [0, RENDER_FOCAL * image_size / RENDER_SIZE, image_size / 2],
                   [0, 0, 1]], np.float32)
 
-    if vertex_colors is None:
-        vertex_colors = np.full((len(verts), 3), base_color, np.float32)
+    # appearance source priority: explicit override > texture map > vertex
+    # colors > flat base_color — matching BlenderProc keeping CAD materials
+    # unless overridden (reference Render/render_bop_templates.py:33-47)
+    textured = (vertex_colors is None and mesh.texture is not None
+                and mesh.uv is not None)
+    if vertex_colors is None and not textured:
+        vertex_colors = (mesh.colors.astype(np.float32)
+                         if mesh.colors is not None else
+                         np.full((len(verts), 3), base_color, np.float32))
     normals = _vertex_normals(verts, mesh.faces)
 
     view_ids = range(len(cam_poses)) if views is None else views
@@ -93,30 +119,45 @@ def render_templates(
             return np.stack([vc[:, 0] / z * K[0, 0] + K[0, 2],
                              vc[:, 1] / z * K[1, 1] + K[1, 2]], axis=1)
 
-        sverts, sfaces = split_large_triangles(verts, mesh.faces, proj)
+        sverts, sfaces, parents = split_large_triangles(verts, mesh.faces, proj)
         if len(sverts) != len(verts):
-            scolors = np.concatenate([
-                vertex_colors,
-                np.full((len(sverts) - len(verts), 3), vertex_colors.mean(0))])
             snormals = _vertex_normals(sverts, sfaces)
+            scolors = (None if textured
+                       else interpolate_split_attrs(vertex_colors, parents))
+            suv = (interpolate_split_attrs(mesh.uv.astype(np.float32), parents)
+                   if textured else None)
         else:
             scolors, snormals = vertex_colors, normals
+            suv = mesh.uv if textured else None
         sv_cam = (sverts - t) @ Rwc.T
 
         # headlight Lambertian + ambient
         view_dir = (t - sverts)
         view_dir /= np.maximum(np.linalg.norm(view_dir, axis=1, keepdims=True), 1e-12)
         diff = np.abs((snormals * view_dir).sum(1))[:, None]
-        shaded = np.clip(scolors * (0.35 + 0.65 * diff), 0, 1)
+        shade = 0.35 + 0.65 * diff  # (V, 1)
 
-        attrs = np.concatenate([shaded, sverts], axis=1).astype(np.float32)
+        if textured:
+            # interpolate (shade, u, v); the texture is sampled per-pixel
+            # after rasterization (perspective-correct UVs from the raster)
+            head = np.concatenate([shade, suv], axis=1)
+        else:
+            head = np.clip(scolors * shade, 0, 1)
+        attrs = np.concatenate([head, sverts], axis=1).astype(np.float32)
         attr_img, mask, _ = rasterize(
             jnp.asarray(sv_cam, jnp.float32), jnp.asarray(sfaces, jnp.int32),
             jnp.asarray(attrs), jnp.asarray(K), image_size, image_size)
         attr_img = np.asarray(attr_img)
         mask = np.asarray(mask)
 
-        rgb = (np.clip(attr_img[..., :3], 0, 1) * 255).astype(np.uint8)
+        if textured:
+            texel = _sample_texture(mesh.texture, attr_img[..., 1],
+                                    attr_img[..., 2])
+            shaded_px = np.clip(texel * attr_img[..., 0:1], 0, 1)
+            shaded_px = np.where(mask[..., None], shaded_px, 0.0)
+            rgb = (shaded_px * 255).astype(np.uint8)
+        else:
+            rgb = (np.clip(attr_img[..., :3], 0, 1) * 255).astype(np.uint8)
         xyz = attr_img[..., 3:6].astype(np.float32) * xyz_scale
         if xyz_rot is not None:
             xyz = xyz @ np.asarray(xyz_rot, np.float32).T
@@ -159,8 +200,13 @@ def render_bop_templates(dataset_dir: str, output_root: str,
         mesh = load_ply(os.path.join(model_path, f"obj_{obj_id:06d}.ply"))
         diameter = float(info[key]["diameter"])
         out_dir = os.path.join(output_root, dataset_name, f"obj_{obj_id:06d}")
+        # tless: force the gray 0.4 material the reference creates
+        # (render_bop_templates.py:43-47); other datasets keep the CAD's own
+        # appearance (texture map or vertex colors)
+        gray = (np.full((len(mesh.vertices), 3), 0.4, np.float32)
+                if dataset_name == "tless" else None)
         render_templates(
-            mesh, out_dir, level=level, base_color=0.4,
+            mesh, out_dir, level=level, base_color=0.4, vertex_colors=gray,
             image_size=image_size, cam_distance=2.0 * diameter, subdir="")
         out_dirs.append(out_dir)
     return out_dirs
