@@ -7,10 +7,12 @@ model-frame outlier cut, 2048-point sampling, color augmentation, random
 SO(3) rotation + small translation augmentation, two fixed template views
 (xyz * 0.1 scale, :294).
 
-The imgaug color pipeline of the reference (gdrnpp) is approximated with a
-numpy implementation of the same op families (coarse dropout, blur,
-brightness/contrast, noise, grayscale blend) — documented deviation; it
-only affects training-time photometric augmentation.
+The gdrnpp imgaug color pipeline (training_dataset.py:81-99) is implemented
+faithfully: all 13 ops (CoarseDropout, GaussianBlur, the four PIL
+ImageEnhance ops, Add, Invert, Multiply x2, AdditiveGaussianNoise,
+LinearContrast, Grayscale), each behind its Sometimes probability, executed
+in random order per image and clipped back to uint8 between ops — the same
+per-op contract imgaug applies.
 """
 from __future__ import annotations
 
@@ -40,37 +42,136 @@ def random_rotation(rng: np.random.RandomState) -> np.ndarray:
     return (Rx @ Ry @ Rz).astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# gdrnpp color augmentation (reference training_dataset.py:81-99): the full
+# 13-op imgaug Sequential, random_order=True. Each op is uint8 -> uint8
+# (imgaug clips back to the input dtype after every augmenter); the pillike
+# ops delegate to PIL.ImageEnhance — the same backend imgaug wraps.
+
+def _u8(img: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def _enhance(img: np.ndarray, which: str, factor: float) -> np.ndarray:
+    from PIL import ImageEnhance
+    pil = Image.fromarray(img)
+    enh = getattr(ImageEnhance, which)(pil)
+    return np.asarray(enh.enhance(factor))
+
+
+def _aug_coarse_dropout(img, rng):  # CoarseDropout(p=0.2, size_percent=0.05)
+    h, w = img.shape[:2]
+    lh, lw = max(1, int(round(h * 0.05))), max(1, int(round(w * 0.05)))
+    drop = rng.rand(lh, lw) < 0.2
+    ys = (np.arange(h) * lh // h).clip(max=lh - 1)
+    xs = (np.arange(w) * lw // w).clip(max=lw - 1)
+    full = drop[ys[:, None], xs[None, :]]
+    out = img.copy()
+    out[full] = 0
+    return out
+
+
+def _aug_gaussian_blur(img, rng):  # GaussianBlur((0., 3.))
+    from scipy.ndimage import gaussian_filter
+    sigma = rng.uniform(0.0, 3.0)
+    if sigma < 1e-3:
+        return img
+    return _u8(gaussian_filter(img.astype(np.float32),
+                               sigma=(sigma, sigma, 0)))
+
+
+def _aug_sharpness(img, rng):   # pillike.EnhanceSharpness(factor=(0., 50.))
+    return _enhance(img, "Sharpness", rng.uniform(0.0, 50.0))
+
+
+def _aug_contrast(img, rng):    # pillike.EnhanceContrast(factor=(0.2, 50.))
+    return _enhance(img, "Contrast", rng.uniform(0.2, 50.0))
+
+
+def _aug_brightness(img, rng):  # pillike.EnhanceBrightness(factor=(0.1, 6.))
+    return _enhance(img, "Brightness", rng.uniform(0.1, 6.0))
+
+
+def _aug_color(img, rng):       # pillike.EnhanceColor(factor=(0., 20.))
+    return _enhance(img, "Color", rng.uniform(0.0, 20.0))
+
+
+def _aug_add(img, rng):         # Add((-25, 25), per_channel=0.3)
+    n = 3 if rng.rand() < 0.3 else 1
+    v = rng.uniform(-25, 25, size=(n,))
+    if n == 1:
+        v = np.repeat(v, 3)
+    return _u8(img.astype(np.float32) + v[None, None, :])
+
+
+def _aug_invert(img, rng):      # Invert(0.2, per_channel=True)
+    inv = rng.rand(3) < 0.2
+    out = img.copy()
+    out[..., inv] = 255 - out[..., inv]
+    return out
+
+
+def _aug_multiply_pc(img, rng):  # Multiply((0.6, 1.4), per_channel=0.5)
+    n = 3 if rng.rand() < 0.5 else 1
+    v = rng.uniform(0.6, 1.4, size=(n,))
+    if n == 1:
+        v = np.repeat(v, 3)
+    return _u8(img.astype(np.float32) * v[None, None, :])
+
+
+def _aug_multiply(img, rng):    # Multiply((0.6, 1.4))
+    return _u8(img.astype(np.float32) * rng.uniform(0.6, 1.4))
+
+
+def _aug_gauss_noise(img, rng):  # AdditiveGaussianNoise(scale=10, per_channel=True)
+    return _u8(img.astype(np.float32) + rng.randn(*img.shape) * 10.0)
+
+
+def _aug_linear_contrast(img, rng):  # LinearContrast((0.5, 2.2), per_channel=0.3)
+    n = 3 if rng.rand() < 0.3 else 1
+    a = rng.uniform(0.5, 2.2, size=(n,))
+    if n == 1:
+        a = np.repeat(a, 3)
+    return _u8(127.0 + a[None, None, :] * (img.astype(np.float32) - 127.0))
+
+
+def _aug_grayscale(img, rng):   # Grayscale(alpha=(0.0, 1.0))
+    alpha = rng.uniform(0.0, 1.0)
+    f = img.astype(np.float32)
+    # imgaug grayscale = RGB2GRAY luminosity weights
+    g = (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2])[..., None]
+    return _u8(f * (1 - alpha) + g * alpha)
+
+
+# (Sometimes probability, op) in the reference's Sequential order; the order
+# is shuffled per image (random_order=True)
+GDRNPP_AUG_CHAIN = (
+    (0.5, _aug_coarse_dropout),
+    (0.4, _aug_gaussian_blur),
+    (0.3, _aug_sharpness),
+    (0.3, _aug_contrast),
+    (0.5, _aug_brightness),
+    (0.3, _aug_color),
+    (0.5, _aug_add),
+    (0.3, _aug_invert),
+    (0.5, _aug_multiply_pc),
+    (0.5, _aug_multiply),
+    (0.1, _aug_gauss_noise),
+    (0.5, _aug_linear_contrast),
+    (0.5, _aug_grayscale),
+)
+
+
 def color_augment(rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """Photometric augmentation approximating the reference gdrnpp imgaug
-    chain (training_dataset.py:81-99)."""
-    img = rgb.astype(np.float32)
-    if rng.rand() < 0.4:  # coarse dropout
-        h, w = img.shape[:2]
-        n = rng.randint(1, 6)
-        for _ in range(n):
-            dh, dw = max(1, int(h * 0.05)), max(1, int(w * 0.05))
-            y, x = rng.randint(0, h - dh + 1), rng.randint(0, w - dw + 1)
-            img[y:y + dh, x:x + dw] = 0
-    if rng.rand() < 0.3:  # box blur
-        k = rng.choice([3, 5])
-        pad = k // 2
-        p = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-        acc = np.zeros_like(img)
-        for dy in range(k):
-            for dx in range(k):
-                acc += p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
-        img = acc / (k * k)
-    if rng.rand() < 0.3:  # brightness add
-        img = img + rng.uniform(-25, 25)
-    if rng.rand() < 0.5:  # contrast / multiply
-        img = img * rng.uniform(0.75, 1.25)
-    if rng.rand() < 0.1:  # additive gaussian noise
-        img = img + rng.randn(*img.shape) * 10
-    if rng.rand() < 0.5:  # grayscale blend
-        g = img.mean(axis=2, keepdims=True)
-        alpha = rng.rand()
-        img = img * (1 - alpha) + g * alpha
-    return np.clip(img, 0, 255).astype(np.uint8)
+    """The full gdrnpp photometric chain (training_dataset.py:81-99):
+    13 ops, each applied with its Sometimes probability, in random order."""
+    img = np.ascontiguousarray(rgb, np.uint8)
+    order = rng.permutation(len(GDRNPP_AUG_CHAIN))
+    for i in order:
+        p, op = GDRNPP_AUG_CHAIN[i]
+        if rng.rand() < p:
+            img = op(img, rng)
+    return img
 
 
 def dilate_mask(mask: np.ndarray, iterations: int = 4) -> np.ndarray:
