@@ -151,16 +151,10 @@ class SAMConfig:
     # longer be selected (irrelevant at max_proposals << T). Caps the
     # sequential NMS loop and the (T, T) IoU matrix. 0 = no truncation.
     amg_nms_topk: int = 3072
-    # Python-unrolled fixed-point NMS rounds before the while_loop fallback
-    # (ops/masks.nms_masked): >0 moves the typical <10 suppression rounds
-    # out of the while_loop so the fused propose program does not carry a
-    # (T, T)-operand loop; the fallback keeps exactness on long chains
-    amg_nms_unroll_rounds: int = 0
-    # flatten the encoder 32-block scan at lowering: scans sharing a fused
-    # program with the AMG tail's (T, T) ops pay the scan-coexistence tax
-    # (PERFORMANCE.md round 3); irrelevant when the encoder runs as its
-    # own dispatch
-    encoder_unroll: bool = False
+    # (round-4 measurements deleted two staged knobs: NMS unroll-rounds —
+    # amgz.unroll12_while 214.7 vs while 214.6 ms, no effect, the while
+    # fixed point stays; encoder scan unrolling — seg.fused_unroll 227.9
+    # vs fused_scan 228.0 ms, no effect, the 32-block nn.scan stays)
 
 
 @dataclass(frozen=True)
@@ -179,11 +173,11 @@ class DINOv2Config:
     # (the reference also uses 16, for GPU memory reasons)
     chunk_size: int = 16
     # unroll the adaptive describe chunk loop: Python-unrolled chunks each
-    # gated by lax.cond instead of one lax.while_loop — same outputs; the
-    # while_loop (whose body is a full DINOv2 forward) coexisting with the
-    # scoring program's other ops is a scan-coexistence suspect
-    # (PERFORMANCE.md round 3)
-    adaptive_unroll: bool = False
+    # gated by lax.cond instead of one lax.while_loop — same outputs.
+    # Measured on v5e (round 4): 204.2 (unrolled) vs 218.6 ms (while) at
+    # capacity 128, flat at 48 valid — the while_loop with a DINOv2-forward
+    # body pays the scan-coexistence tax in the fused scoring program
+    adaptive_unroll: bool = True
     descriptor_width_size: int = 640
     validity_thresh: float = 0.5    # patch validity via avgpool(mask) > 0.5
 

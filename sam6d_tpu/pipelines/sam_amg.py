@@ -79,7 +79,7 @@ class SAMSegmentor:
             num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
             global_attn_indexes=cfg.encoder_global_attn_indexes,
             out_chans=cfg.prompt_embed_dim, use_flash=use_flash,
-            unroll=cfg.encoder_unroll, dtype=dtype)
+            dtype=dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=cfg.prompt_embed_dim,
             input_image_size=(cfg.img_size, cfg.img_size),
@@ -334,8 +334,7 @@ class SAMSegmentor:
             iou_t, valid_t, boxes_t = iou, valid, boxes
         iou_mat = box_iou(boxes_t, boxes_t)
         same = jnp.ones((T, T), bool)
-        keep = nms_masked(iou_mat, iou_t, valid_t, same, cfg.box_nms_thresh,
-                          unroll_rounds=cfg.amg_nms_unroll_rounds)
+        keep = nms_masked(iou_mat, iou_t, valid_t, same, cfg.box_nms_thresh)
 
         K = cfg.max_proposals
         score = jnp.where(keep, iou_t, -jnp.inf)

@@ -43,6 +43,13 @@ def _chunked_min_dist_to_model(transformed, model_pts, chunk: int):
     """transformed: (B, P, N1, 3), model_pts: (B, M, 3) ->
     min-dist (B, P, N1), computed in proposal chunks to bound memory."""
     B, P, N1, _ = transformed.shape
+    chunk = min(chunk, P)
+    if P % chunk:  # pad P to a chunk multiple (small configs); crop after
+        pad = chunk - P % chunk
+        transformed = jnp.concatenate(
+            [transformed, transformed[:, :pad]], axis=1)
+        return _chunked_min_dist_to_model(
+            transformed, model_pts, chunk)[:, :P]
 
     def one_chunk(start):
         sl = jax.lax.dynamic_slice_in_dim(transformed, start, chunk, axis=1)

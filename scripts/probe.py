@@ -1142,6 +1142,232 @@ def exp_amgz():
                timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
 
 
+@exp("amgw")
+def exp_amgw():
+    """What should propose OUTPUT instead of (K, hs, ws) bool masks?
+    The amgz round-4 numbers showed NMS costs ~0.5 ms and the masks_for
+    tail ~70 ms in composition. Variants of the full propose shape
+    (score + while-NMS + top-K + <tail>), one process:
+
+      boolout   — production tail: full-res bool masks (baseline)
+      lowout    — channel-selected low-res block logits only (no resize)
+      lowsums   — low logits + per-candidate full-res reductions computed
+                  in-chunk: mask area, depth-weighted sums (the geometric
+                  score's translation numerators), never writing hi-res
+      lowfull   — lowsums + the 224^2 mask/rgb crop gathers (the describe
+                  stage's input) fused where hi exists; outputs crops
+    """
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+    from sam6d_tpu.ops import masks as masks_mod
+    from sam6d_tpu.ops.images import masked_crop_resize_pad_nearest
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    depth = jnp.asarray((rng.rand(hs, ws) * 1000).astype(np.float32))
+    rgb01 = jnp.asarray(rng.rand(hs, ws, 3).astype(np.float32))
+    Kmat = jnp.asarray(np.array([[600.0, 0, 320], [0, 600.0, 240],
+                                 [0, 0, 1]], np.float32))
+
+    def select(v, e, p):
+        iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
+                                               hs, ws, h_in, w_in)
+        valid = ((iou > cfg.pred_iou_thresh)
+                 & (stab >= cfg.stability_score_thresh))
+        T = iou.shape[0]
+        im = sam_amg_mod.box_iou(boxes, boxes)
+        same = jnp.ones((T, T), bool)
+        keep = masks_mod.nms_masked(im, iou, valid, same, cfg.box_nms_thresh)
+        K = cfg.max_proposals
+        _, order = jax.lax.top_k(jnp.where(keep, iou, -jnp.inf), K)
+        return order, boxes[order], keep[order]
+
+    def low_chunks(v, e, order):
+        """Channel-selected decode of the K selected candidates, chunked
+        like _masks_for_impl; yields (chunk, 4, 4g^2) block logits."""
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        K = order.shape[0]
+        chunk = min(cfg.points_per_batch, K)
+        sel_points = pts[order // 3]
+        sel_channel = (order % 3).astype(jnp.int32)
+        outs = []
+        for c in range(K // chunk):
+            low, _ = seg._decode_chunk(
+                v, e, dense_pe,
+                jax.lax.dynamic_slice_in_dim(sel_points, c * chunk, chunk, 0),
+                sel_channel=jax.lax.dynamic_slice_in_dim(
+                    sel_channel, c * chunk, chunk, 0))
+            outs.append(low)
+        return outs
+
+    # depth-weighted fields for the geometric translation (X, Y, Z planes)
+    Zs = depth / 1000.0
+    u = jnp.arange(ws, dtype=jnp.float32)[None, :]
+    vv = jnp.arange(hs, dtype=jnp.float32)[:, None]
+    Xf = (u - Kmat[0, 2]) * Zs / Kmat[0, 0]
+    Yf = (vv - Kmat[1, 2]) * Zs / Kmat[1, 1]
+    fields = jnp.stack([Xf, Yf, Zs, (Zs > 0).astype(jnp.float32)])  # (4,hs,ws)
+
+    def tail_sums(hi_bool):
+        """(chunk, hs, ws) bool -> per-candidate (chunk, 5): area + the
+        4 depth-field sums over mask & depth>0 pixels."""
+        m = hi_bool.astype(jnp.bfloat16)
+        area = jnp.sum(m, axis=(1, 2))
+        mz = m * (Zs > 0).astype(jnp.bfloat16)[None]
+        sums = jnp.einsum("khw,fhw->kf", mz, fields.astype(jnp.bfloat16))
+        return jnp.concatenate([area[:, None], sums], axis=1)
+
+    def propose_like(v, e, p, rgb, mode):
+        order, boxes_k, keep_k = select(v, e, p)
+        acc = jnp.sum(boxes_k) + jnp.sum(keep_k)
+        if mode == "boolout":
+            masks = seg._masks_for_impl(
+                v, e, pts[order // 3], (order % 3).astype(jnp.int32),
+                Ry, Rx, hs, ws, h_in, w_in)
+            return acc + jnp.sum(masks)
+        lows = low_chunks(v, e, order)
+        if mode == "lowout":
+            return acc + sum(jnp.sum(lo) for lo in lows)
+        # lowsums / lowfull: resize per chunk, reduce in place
+        hi_chunks = [seg._resize_logits_block(lo, Ry, Rx)[:, 0] > 0.0
+                     for lo in lows]
+        sums = jnp.concatenate([tail_sums(h) for h in hi_chunks])
+        acc = acc + jnp.sum(sums) + sum(jnp.sum(lo) for lo in lows)
+        if mode == "lowfull":
+            masks_full = jnp.concatenate(hi_chunks)
+            crops, mask_crops = masked_crop_resize_pad_nearest(
+                rgb, masks_full, boxes_k, 224)
+            acc = acc + jnp.sum(crops) + jnp.sum(mask_crops)
+        return acc
+
+    for mode in ("lowout", "lowsums", "lowfull", "boolout"):
+        g = jax.jit(lambda v, e, p, r, m=mode: propose_like(v, e, p, r, m))
+        report(f"amgw.{mode}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts, rgb01)),
+               per=1)
+
+
+@exp("amgv")
+def exp_amgv():
+    """The ~70 ms composition drag is the masks_for RE-DECODE (amgw: lowout
+    ~= boolout; amgz: nomasks -70). Alternatives, one process:
+
+      boolout        — production: channel-selected re-decode (baseline)
+      keeplow        — NO re-decode: the score pass stores every candidate's
+                       low-res block logits (402 MB bf16); selection gathers
+                       128 rows, resize+threshold as today
+      redecode_nosel — re-decode all 3 channels, one-hot channel contraction
+                       (the pre-e71ac39 path)
+      redecode_fixed — channel-selected re-decode of NMS-INDEPENDENT inputs
+                       (pts[:K//3] x iota channels): isolates the cost of
+                       the data dependence on the NMS order
+    """
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    import sam6d_tpu.pipelines.sam_amg as sam_amg_mod
+    from sam6d_tpu.ops import masks as masks_mod
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    K = cfg.max_proposals
+
+    def score_all_keep(v, e, p):
+        """_score_all_impl body, also returning the low block logits
+        (3P, 4, N4) in candidate order (p*3 + channel)."""
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        chunk = cfg.points_per_batch
+        P = p.shape[0]
+        iou_l, stab_l, box_l, low_l = [], [], [], []
+        for c in range(P // chunk):
+            pc = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk, 0)
+            masks, iou = seg._decode_chunk(v, e, dense_pe, pc)
+            hi = seg._resize_logits_block(masks, Ry, Rx)
+            inter = jnp.sum(hi > cfg.stability_score_offset, axis=(-1, -2))
+            union = jnp.sum(hi > -cfg.stability_score_offset, axis=(-1, -2))
+            stability = inter / jnp.maximum(union, 1)
+            flat = hi.reshape(-1, hs, ws)
+            boxes = masks_mod.masks_to_boxes((flat > 0.0).astype(jnp.float32))
+            iou_l.append(iou.reshape(-1))
+            stab_l.append(stability.reshape(-1))
+            box_l.append(boxes)
+            N4 = masks.shape[-1]
+            low_l.append(masks.reshape(chunk, 3, 4, N4).reshape(
+                chunk * 3, 4, N4))
+        return (jnp.concatenate(iou_l), jnp.concatenate(stab_l),
+                jnp.concatenate(box_l), jnp.concatenate(low_l))
+
+    def select(iou, stab, boxes):
+        valid = ((iou > cfg.pred_iou_thresh)
+                 & (stab >= cfg.stability_score_thresh))
+        T = iou.shape[0]
+        im = sam_amg_mod.box_iou(boxes, boxes)
+        same = jnp.ones((T, T), bool)
+        keep = masks_mod.nms_masked(im, iou, valid, same, cfg.box_nms_thresh)
+        _, order = jax.lax.top_k(jnp.where(keep, iou, -jnp.inf), K)
+        return order, keep
+
+    def propose_like(v, e, p, mode):
+        if mode == "keeplow":
+            iou, stab, boxes, low = score_all_keep(v, e, p)
+        else:
+            iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
+                                                   hs, ws, h_in, w_in)
+        order, keep = select(iou, stab, boxes)
+        acc = jnp.sum(boxes[order]) + jnp.sum(keep[order])
+        if mode == "keeplow":
+            sel_low = low[order]                       # (K, 4, N4)
+            masks = seg._resize_logits_block(sel_low, Ry, Rx)[:, 0] > 0.0
+            return acc + jnp.sum(masks)
+        if mode == "boolout":
+            masks = seg._masks_for_impl(
+                v, e, pts[order // 3], (order % 3).astype(jnp.int32),
+                Ry, Rx, hs, ws, h_in, w_in)
+            return acc + jnp.sum(masks)
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        if mode == "redecode_nosel":
+            sel_pts = pts[order // 3]
+            chunk = min(cfg.points_per_batch, K)
+            outs = []
+            for c in range(K // chunk):
+                m12, _ = seg._decode_chunk(
+                    v, e, dense_pe,
+                    jax.lax.dynamic_slice_in_dim(sel_pts, c * chunk, chunk, 0))
+                ch = jax.lax.dynamic_slice_in_dim(order % 3, c * chunk,
+                                                  chunk, 0)
+                oh = jax.nn.one_hot(ch, 3, dtype=m12.dtype)
+                N4 = m12.shape[-1]
+                m_sel = jnp.einsum("kc,kcrn->krn", oh,
+                                   m12.reshape(chunk, 3, 4, N4))
+                outs.append(seg._resize_logits_block(m_sel, Ry, Rx)[:, 0] > 0.0)
+            return acc + sum(jnp.sum(o) for o in outs)
+        if mode == "redecode_fixed":
+            fixed_pts = pts[:K]
+            fixed_ch = (jnp.arange(K) % 3).astype(jnp.int32)
+            masks = seg._masks_for_impl(v, e, fixed_pts, fixed_ch,
+                                        Ry, Rx, hs, ws, h_in, w_in)
+            return acc + jnp.sum(masks)
+        raise ValueError(mode)
+
+    for mode in ("keeplow", "redecode_nosel", "redecode_fixed", "boolout"):
+        g = jax.jit(lambda v, e, p, m=mode: propose_like(v, e, p, m))
+        report(f"amgv.{mode}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
 # ----------------------------------------------------------------------- seg
 
 @exp("seg")
@@ -1156,10 +1382,11 @@ def exp_seg():
     rng = np.random.RandomState(0)
     frame = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
     results = {}
-    for name, unroll in (("seg.fused_scan", False),
-                         ("seg.fused_unroll", True)):
+    # (the encoder_unroll knob was deleted after round-4 measurement:
+    # fused_unroll 227.9 vs fused_scan 228.0 — no effect)
+    for name, unroll in (("seg.fused_scan", False),):
         cfg = SAMConfig(max_proposals=128, pred_iou_thresh=-10.0,
-                        stability_score_thresh=0.0, encoder_unroll=unroll)
+                        stability_score_thresh=0.0)
         seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
         canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
         Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
@@ -1275,6 +1502,57 @@ def exp_match():
     report("match.describe_unrolled48",
            timed(lambda i: g48(pipe.dinov2_vars, rgb01 + i * 1e-7, masks,
                                boxes.astype(jnp.int32))), per=1)
+
+
+@exp("dinochunk")
+def exp_dinochunk():
+    """Describe chunk size under the unrolled (cond-gated) adaptive path —
+    round-2 picked 16 for the while_loop formulation; re-pick for the
+    round-4 default. Full fused score program at capacity 128 and at 48
+    valid, chunks 16/32/64."""
+    from dataclasses import replace
+    from sam6d_tpu.core.config import ISMConfig, SAMConfig
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+
+    rng = np.random.RandomState(0)
+    P = 128
+    H, W = 480, 640
+    rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(P, H, W) > 0.9).astype(np.float32))
+    boxes_np = np.zeros((P, 4), np.float32)
+    boxes_np[:, 0] = rng.randint(0, W // 2, P)
+    boxes_np[:, 1] = rng.randint(0, H // 2, P)
+    boxes_np[:, 2] = boxes_np[:, 0] + rng.randint(20, W // 2, P)
+    boxes_np[:, 3] = boxes_np[:, 1] + rng.randint(20, H // 2, P)
+    boxes = jnp.asarray(boxes_np)
+    depth = jnp.asarray((rng.rand(H, W) * 1000).astype(np.float32))
+    Kmat = jnp.asarray(np.array([[600.0, 0, 320], [0, 600.0, 240],
+                                 [0, 0, 1]], np.float32))
+
+    for chunk in (16, 32, 64):
+        cfg = ISMConfig(sam=SAMConfig(max_proposals=P))
+        cfg = replace(cfg, dinov2=replace(cfg.dinov2, chunk_size=chunk,
+                                          adaptive_unroll=True))
+        pipe = ISMPipeline(cfg, dinov2_variables="eval_shape",
+                           dtype=jnp.bfloat16)
+        d = cfg.dinov2
+        ref_desc = jnp.asarray(
+            rng.rand(1, 42, d.embed_dim).astype(np.float32))
+        n_patch = (d.img_size // d.patch_size) ** 2
+        ref_appe = jnp.asarray(
+            rng.rand(1, 42, n_patch, d.embed_dim).astype(np.float32))
+        poses_R = jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32), (42, 1, 1)))
+        clouds = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
+        for nval in (P, 48):
+            val = jnp.asarray(np.arange(P) < nval)
+            g = jax.jit(lambda v, r, val_: jnp.sum(pipe._score_frame_impl(
+                v, r, masks, boxes, val_, depth, Kmat, jnp.float32(1.0),
+                ref_desc, ref_appe, poses_R, clouds,
+                apply_nms=True)["scores"]))
+            report(f"dinochunk.c{chunk}_n{nval}",
+                   timed(lambda i: g(pipe.dinov2_vars, rgb01 + i * 1e-7,
+                                     val)), per=1)
 
 
 if __name__ == "__main__":

@@ -166,11 +166,14 @@ def test_adaptive_describe_matches_full_for_valid_prefix(rng):
     # invalid slots can never be selected
     assert not np.asarray(out["valid"])[5:].any()
 
-    # unrolled adaptive describe (Python chunks behind lax.cond) must be
-    # chunk-for-chunk identical to the while_loop formulation
+    # the unrolled adaptive describe (Python chunks behind lax.cond — the
+    # measured default) must be chunk-for-chunk identical to the while_loop
+    # formulation
     from dataclasses import replace
     pipe_u = ISMPipeline(replace(
         cfg, dinov2=replace(cfg.dinov2, adaptive_unroll=True)))
+    pipe = ISMPipeline(replace(
+        cfg, dinov2=replace(cfg.dinov2, adaptive_unroll=False)))
     imgs = jnp.asarray(
         rng.rand(K, d.img_size, d.img_size, 3).astype(np.float32))
     for n in (0, 5, 9, K):
