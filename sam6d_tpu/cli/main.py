@@ -148,10 +148,22 @@ def cmd_stream(args):
             yield rp, rgb, depth
 
     from ..data.prefetch import iter_prefetched
-    with open(out_path, "w") as f:
+
+    names = []
+
+    def items():
+        # PNG decode in the prefetch thread; device work double-buffered by
+        # process_stream (frame t+1's AMG+scoring run while the host drives
+        # frame t's PEM tail)
         for rp, rgb, depth in iter_prefetched(frames(), depth=2):
-            res = stream.process_frame(rgb, depth, K, depth_scale)
-            f.write(_json.dumps(dict(frame=os.path.basename(rp),
+            names.append(rp)
+            yield rgb, depth, K, depth_scale
+
+    with open(out_path, "w") as f:
+        pipelined = stream.process_stream(
+            items(), depth_in_flight=0 if args.no_overlap else 1)
+        for j, res in enumerate(pipelined):
+            f.write(_json.dumps(dict(frame=os.path.basename(names[j]),
                                      poses=res["poses"],
                                      ms=round(res["ms"], 1))) + "\n")
     tp = stream.throughput()
@@ -385,6 +397,9 @@ def build_parser():
     ps.add_argument("--cam_path", required=True)
     ps.add_argument("--output_dir", default="outputs/stream")
     ps.add_argument("--max_frames", type=int, default=None)
+    ps.add_argument("--no_overlap", action="store_true",
+                    help="disable the double-buffered frame pipeline "
+                         "(synchronous per-frame processing)")
     ps.add_argument("--det_score_thresh", type=float, default=0.2)
     ps.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
     ps.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))

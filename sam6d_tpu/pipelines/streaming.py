@@ -40,7 +40,9 @@ class MultiObjectStream:
         self._objs: List[Dict] = []
         self._finalized = False
         self.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
-        self._frame_s: List[float] = []  # steady-state per-frame latencies
+        self._frame_s: List[float] = []  # steady-state per-frame cadence
+        self._pending: List = []         # submitted, not yet completed
+        self._last_done: Optional[float] = None
 
     # ------------------------------------------------------------ onboarding
 
@@ -97,17 +99,27 @@ class MultiObjectStream:
 
     # --------------------------------------------------------------- serving
 
-    def process_frame(self, rgb: np.ndarray, depth: np.ndarray,
-                      K: np.ndarray, depth_scale: float = 1.0,
-                      seed: int = 1) -> Dict:
-        """One RGB-D frame -> dict(detections, poses, ms). Detections carry
-        the onboarded object ids; poses are one dict per surviving
-        detection (R row-major, t in mm, fused ISM*PEM score)."""
+    def submit_frame(self, rgb: np.ndarray, depth: np.ndarray,
+                     K: np.ndarray, depth_scale: float = 1.0,
+                     seed: int = 1) -> None:
+        """Dispatch the device-side chain (AMG + fused multi-object
+        scoring) for one frame and enqueue it for complete_frame(). JAX
+        dispatch is asynchronous: this returns once the programs are
+        enqueued, before any result exists — the device crunches this
+        frame while the host completes the previous one."""
         self._finalize()
         t0 = time.time()
-        result = self.ism.match_frame(rgb, depth, K, depth_scale,
-                                      self._clouds,
-                                      apply_nms_per_object=True)
+        dev = self.ism.match_frame_device(rgb, depth, K, depth_scale,
+                                          self._clouds,
+                                          apply_nms_per_object=True)
+        self._pending.append((dev, rgb, depth, K, depth_scale, seed, t0))
+
+    def complete_frame(self) -> Dict:
+        """Block on the oldest submitted frame's device results, run the
+        host-side tail (detection assembly, RLE, PEM batch) and account
+        stats. Returns dict(detections, poses, ms)."""
+        dev, rgb, depth, K, depth_scale, seed, t0 = self._pending.pop(0)
+        result = {k: np.asarray(v) for k, v in dev.items()}
         dets = []
         idx = np.where(result["valid"])[0]
         for i in idx:
@@ -123,18 +135,47 @@ class MultiObjectStream:
             rgb, depth, K, depth_scale, dets,
             self._model_all, self._templates_all,
             det_score_thresh=self.det_score_thresh, seed=seed)
-        dt = time.time() - t0
+        now = time.time()
+        # steady-state cadence: completion-to-completion interval (the
+        # serving metric under pipelining; equals per-frame latency in the
+        # synchronous path); first frame = compile warm-up
         if self.stats["frames"] == 0:
-            self.stats["first_frame_s"] = dt  # includes the jit compiles
+            self.stats["first_frame_s"] = now - t0
+            self.stats["seconds"] += now - t0
         else:
-            self._frame_s.append(dt)
+            self._frame_s.append(now - self._last_done)
+            self.stats["seconds"] += self._frame_s[-1]
+        self._last_done = now
         self.stats["frames"] += 1
         self.stats["detections"] += len(dets)
         self.stats["poses"] += len(poses)
-        self.stats["seconds"] += dt
         for p in poses:
             p["object_id"] = self._objs[p["object_id"]]["obj_id"]
-        return dict(detections=dets, poses=poses, ms=dt * 1e3)
+        return dict(detections=dets, poses=poses, ms=(now - t0) * 1e3)
+
+    def process_frame(self, rgb: np.ndarray, depth: np.ndarray,
+                      K: np.ndarray, depth_scale: float = 1.0,
+                      seed: int = 1) -> Dict:
+        """One RGB-D frame -> dict(detections, poses, ms), synchronous
+        (submit + complete back to back). Detections carry the onboarded
+        object ids; poses are one dict per surviving detection (R
+        row-major, t in mm, fused ISM*PEM score)."""
+        self.submit_frame(rgb, depth, K, depth_scale, seed)
+        return self.complete_frame()
+
+    def process_stream(self, frames, depth_in_flight: int = 1):
+        """Pipelined serving over an iterable of (rgb, depth, K,
+        depth_scale) tuples: keeps `depth_in_flight` frames' device work
+        in flight, so frame t+1's AMG + scoring run on-device while the
+        host blocks on frame t's transfers and drives its PEM tail.
+        Steady-state cadence approaches max(device, host) instead of
+        their sum. Yields one result dict per frame, in order."""
+        for item in frames:
+            self.submit_frame(*item)
+            while len(self._pending) > depth_in_flight:
+                yield self.complete_frame()
+        while self._pending:
+            yield self.complete_frame()
 
     def throughput(self) -> Dict:
         """Steady-state stats exclude the first frame (compile warm-up)."""

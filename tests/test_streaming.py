@@ -64,3 +64,45 @@ def test_multi_object_stream(tmp_path, rng):
     tp = stream.throughput()
     assert tp["frames"] == 2
     assert tp["ms_per_frame"] > 0
+
+
+@pytest.mark.slow
+def test_pipelined_stream_matches_sync(tmp_path, rng):
+    """process_stream (double-buffered device dispatch) yields the same
+    per-frame detections/poses as the synchronous path, in order."""
+    def build():
+        ism = ISMPipeline(tiny_ism_cfg(),
+                          segmentor=SAMSegmentor(tiny_sam_cfg(), seed=0),
+                          seed=0)
+        pem = PEMPipeline(tiny_pem_cfg(), seed=0)
+        return MultiObjectStream(ism, pem, det_score_thresh=-1.0)
+
+    tdir = str(tmp_path / "obj")
+    _make_template_dir(tdir, rng)
+    model_pts = (rng.rand(64, 3).astype(np.float32) - 0.5) * 0.08
+
+    H, W = 48, 64
+    K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    frame_rng = np.random.RandomState(3)
+    items = []
+    for _ in range(3):
+        rgb = (frame_rng.rand(H, W, 3) * 255).astype(np.uint8)
+        depth = (frame_rng.rand(H, W) * 400 + 400).astype(np.float32)
+        items.append((rgb, depth, K, 1.0))
+
+    s_sync = build()
+    s_sync.onboard_object(7, tdir, model_pts)
+    ref = [s_sync.process_frame(*it) for it in items]
+
+    s_pipe = build()
+    s_pipe.onboard_object(7, tdir, model_pts)
+    out = list(s_pipe.process_stream(iter(items), depth_in_flight=1))
+
+    assert len(out) == len(ref) == 3
+    assert s_pipe.throughput()["frames"] == 3
+    for a, b in zip(out, ref):
+        assert len(a["detections"]) == len(b["detections"])
+        assert len(a["poses"]) == len(b["poses"])
+        for pa, pb in zip(a["poses"], b["poses"]):
+            np.testing.assert_allclose(pa["R"], pb["R"], atol=1e-5)
+            np.testing.assert_allclose(pa["t"], pb["t"], atol=1e-3)
