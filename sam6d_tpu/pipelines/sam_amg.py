@@ -111,8 +111,9 @@ class SAMSegmentor:
         # NOTE: all jitted entry points take the variables pytree as an
         # explicit argument — closing over it would embed the weights as
         # compile-time constants (catastrophic for compile time/size).
-        self._score_all = jax.jit(self._score_all_impl,
-                                  static_argnames=("hs", "ws", "h_in", "w_in"))
+        self._score_all = jax.jit(
+            self._score_all_impl,
+            static_argnames=("hs", "ws", "h_in", "w_in", "keep_low"))
         self._masks_for = jax.jit(self._masks_for_impl,
                                   static_argnames=("hs", "ws", "h_in", "w_in"))
         # fused single-dispatch per-frame program (encoder output -> proposals)
@@ -190,9 +191,14 @@ class SAMSegmentor:
         t = jnp.einsum("ah,bkhw->bkaw", RyB, m)
         return jnp.einsum("cw,bkaw->bkac", RxB, t)
 
-    def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in, w_in):
+    def _score_all_impl(self, v, embedding, points, Ry, Rx, hs, ws, h_in,
+                        w_in, keep_low: bool = False):
         """Score all prompts. Returns (iou (3P,), stability (3P,),
-        boxes (3P, 4)) in segmentor-resolution coords."""
+        boxes (3P, 4)) in segmentor-resolution coords; with `keep_low`,
+        also the low-res block logits (3P, 4, 4g^2) in candidate order —
+        kept so the selected proposals' masks come from a GATHER instead
+        of a re-decode (the re-decode cost ~70 ms in composition, round-4
+        probes amgz/amgw/amgv; the 402 MB bf16 transient is ~free)."""
         cfg = self.cfg
         dense_pe = self.prompt_encoder.apply(
             v["prompt_encoder"], method="dense_pe")
@@ -206,7 +212,11 @@ class SAMSegmentor:
             stability = inter / jnp.maximum(union, 1)
             flat = hi.reshape(-1, hs, ws)
             boxes = masks_to_boxes((flat > 0.0).astype(jnp.float32))
-            return iou.reshape(-1), stability.reshape(-1), boxes
+            low = None
+            if keep_low:
+                N4 = masks.shape[-1]
+                low = masks.reshape(-1, 3, 4, N4).reshape(-1, 4, N4)
+            return iou.reshape(-1), stability.reshape(-1), boxes, low
 
         P = points.shape[0]
         # Python-unrolled chunk loop, NOT lax.map: an XLA scan coexisting
@@ -216,15 +226,19 @@ class SAMSegmentor:
         # The unrolled HLO is ~8x larger and compiles minutes cold; the
         # persistent compilation cache amortizes that.
         assert P % chunk == 0, (P, chunk)  # the reshape this replaced errored
-        iou_l, stab_l, box_l = [], [], []
+        iou_l, stab_l, box_l, low_l = [], [], [], []
         for c in range(P // chunk):
-            i_c, s_c, b_c = one(
+            i_c, s_c, b_c, l_c = one(
                 jax.lax.dynamic_slice_in_dim(points, c * chunk, chunk, 0))
             iou_l.append(i_c)
             stab_l.append(s_c)
             box_l.append(b_c)
-        return (jnp.concatenate(iou_l), jnp.concatenate(stab_l),
-                jnp.concatenate(box_l))
+            low_l.append(l_c)
+        out = (jnp.concatenate(iou_l), jnp.concatenate(stab_l),
+               jnp.concatenate(box_l))
+        if keep_low:
+            return out + (jnp.concatenate(low_l),)
+        return out
 
     def _rank_all_impl(self, v, embedding, points, h_in, w_in):
         """Cheap pre-rank pass over ALL grid prompts: frozen-image decode
@@ -316,10 +330,9 @@ class SAMSegmentor:
         pad = (-P) % cfg.points_per_batch
         pts_pad = points if pad == 0 else jnp.concatenate(
             [points, jnp.broadcast_to(points[:1], (pad, 2))])
-        iou, stab, boxes = self._score_all_impl(
-            v, embedding, pts_pad, Ry, Rx, hs, ws, h_in, w_in)
+        iou, stab, boxes, lows = self._score_all_impl(
+            v, embedding, pts_pad, Ry, Rx, hs, ws, h_in, w_in, keep_low=True)
         iou, stab, boxes = iou[:3 * P], stab[:3 * P], boxes[:3 * P]
-        points = pts_pad  # order // 3 indexing stays valid
         valid = (iou > cfg.pred_iou_thresh) & (stab >= cfg.stability_score_thresh)
         n_cand = iou.shape[0]
         T = min(cfg.amg_nms_topk or n_cand, n_cand)
@@ -350,10 +363,14 @@ class SAMSegmentor:
                 [order_t, jnp.zeros((padn,), order_t.dtype)])
             sel_valid = jnp.concatenate([sel_valid, jnp.zeros((padn,), bool)])
         order = top[order_t]
-        sel_points = points[order // 3]
-        sel_channel = (order % 3).astype(jnp.int32)
-        masks = self._masks_for_impl(v, embedding, sel_points, sel_channel,
-                                     Ry, Rx, hs, ws, h_in, w_in)
+        # masks for the selection: GATHER the kept low-res logits and
+        # resize — identical numbers to re-decoding the selected (point,
+        # channel) pairs (the decode is deterministic), ~70 ms cheaper in
+        # composition (round-4 probes amgz/amgw/amgv; _masks_for_impl
+        # remains as the standalone channel-selected decode used by the
+        # probe battery)
+        sel_low = lows[order]
+        masks = self._resize_logits_block(sel_low, Ry, Rx)[:, 0] > 0.0
         return masks, boxes[order], sel_valid, iou[order]
 
     # ------------------------------------------------------------------ API

@@ -1325,7 +1325,11 @@ def exp_amgv():
         else:
             iou, stab, boxes = seg._score_all_impl(v, e, p, Ry, Rx,
                                                    hs, ws, h_in, w_in)
+        if mode == "scoreonly":
+            return jnp.sum(iou) + jnp.sum(stab) + jnp.sum(boxes)
         order, keep = select(iou, stab, boxes)
+        if mode == "scoretopk":
+            return jnp.sum(boxes[order]) + jnp.sum(keep[order])
         acc = jnp.sum(boxes[order]) + jnp.sum(keep[order])
         if mode == "keeplow":
             sel_low = low[order]                       # (K, 4, N4)
@@ -1362,7 +1366,8 @@ def exp_amgv():
             return acc + jnp.sum(masks)
         raise ValueError(mode)
 
-    for mode in ("keeplow", "redecode_nosel", "redecode_fixed", "boolout"):
+    for mode in ("scoreonly", "scoretopk", "keeplow", "redecode_nosel",
+                 "redecode_fixed", "boolout"):
         g = jax.jit(lambda v, e, p, m=mode: propose_like(v, e, p, m))
         report(f"amgv.{mode}",
                timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
@@ -1502,6 +1507,63 @@ def exp_match():
     report("match.describe_unrolled48",
            timed(lambda i: g48(pipe.dinov2_vars, rgb01 + i * 1e-7, masks,
                                boxes.astype(jnp.int32))), per=1)
+
+
+@exp("amgu")
+def exp_amgu():
+    """Score-pass floor decomposition (amgv.scoreonly = 151 ms for 8
+    unrolled chunks of 128 prompts): which part of the chunk body costs?
+    Each mode is the FULL 8-chunk unrolled program, one process:
+
+      dec        — decode only (block logits + iou)
+      resize     — + block resize to (chunk, 3, hs, ws), summed
+      stab       — + stability counts (no boxes)
+      boxes      — + masks_to_boxes (no stability)
+      full       — the production one() (= amgv.scoreonly)
+    """
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    from sam6d_tpu.ops.masks import masks_to_boxes
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    hs, ws, h_in, w_in = 480, 640, 768, 1024
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    off = cfg.stability_score_offset
+
+    def run(v, e, p, mode):
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        chunk = cfg.points_per_batch
+        acc = jnp.float32(0)
+        for c in range(p.shape[0] // chunk):
+            pc = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk, 0)
+            masks, iou = seg._decode_chunk(v, e, dense_pe, pc)
+            acc = acc + jnp.sum(iou)
+            if mode == "dec":
+                acc = acc + jnp.sum(masks)
+                continue
+            hi = seg._resize_logits_block(masks, Ry, Rx)
+            if mode == "resize":
+                acc = acc + jnp.sum(hi)
+                continue
+            if mode in ("stab", "full"):
+                inter = jnp.sum(hi > off, axis=(-1, -2))
+                union = jnp.sum(hi > -off, axis=(-1, -2))
+                acc = acc + jnp.sum(inter / jnp.maximum(union, 1))
+            if mode in ("boxes", "full"):
+                flat = hi.reshape(-1, hs, ws)
+                acc = acc + jnp.sum(masks_to_boxes(
+                    (flat > 0.0).astype(jnp.float32)))
+        return acc
+
+    for mode in ("dec", "resize", "stab", "boxes", "full"):
+        g = jax.jit(lambda v, e, p, m=mode: run(v, e, p, m))
+        report(f"amgu.{mode}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
 
 
 @exp("dinochunk")

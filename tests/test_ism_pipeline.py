@@ -301,3 +301,37 @@ def test_crop_cascade_amg(rng):
     boxes, layers = generate_crop_boxes((48, 64), 1, 512 / 1500)
     assert boxes[0] == [0, 0, 64, 48] and layers[0] == 0
     assert len(boxes) == 5 and layers[1:] == [1, 1, 1, 1]
+
+
+def test_propose_gathered_low_masks_equal_redecode(rng):
+    """_propose_impl now takes the selected proposals' masks from the
+    score pass's kept low-res logits (gather) instead of re-decoding the
+    selected (point, channel) pairs. The decode is deterministic, so both
+    must be bit-identical (round-4 restructure, ~70 ms on v5e)."""
+    import jax
+
+    seg = SAMSegmentor(tiny_sam_cfg(), seed=0)
+    frame = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    emb = seg._encode(seg.vars, jnp.asarray(canvas[None]))[0]
+
+    masks, boxes, valid, iou = seg._propose(
+        seg.vars, emb, pts, Ry, Rx, hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+
+    # reproduce the selection to get (point, channel) pairs, then re-decode
+    iou_all, stab_all, boxes_all = seg._score_all_impl(
+        seg.vars, emb, pts, Ry, Rx, hs, ws, h_in, w_in)
+    cfg = seg.cfg
+    valid_all = ((iou_all > cfg.pred_iou_thresh)
+                 & (stab_all >= cfg.stability_score_thresh))
+    from sam6d_tpu.ops.masks import box_iou, nms_masked
+    T = iou_all.shape[0]
+    keep = nms_masked(box_iou(boxes_all, boxes_all), iou_all, valid_all,
+                      jnp.ones((T, T), bool), cfg.box_nms_thresh)
+    score = jnp.where(keep, iou_all, -jnp.inf)
+    _, order = jax.lax.top_k(score, cfg.max_proposals)
+    redecoded = seg._masks_for_impl(
+        seg.vars, emb, pts[np.asarray(order) // 3],
+        (order % 3).astype(jnp.int32), Ry, Rx, hs, ws, h_in, w_in)
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(redecoded))
