@@ -26,6 +26,9 @@ from sam6d_tpu.ops.masks import (
 EXAMPLE_PLY = "/root/reference/SAM-6D/Data/Example/obj_000005.ply"
 
 
+pytestmark = pytest.mark.core  # sub-5-min correctness core
+
+
 def test_load_example_ply():
     mesh = load_ply(EXAMPLE_PLY)
     assert mesh.vertices.shape == (22831, 3)

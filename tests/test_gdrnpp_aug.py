@@ -14,6 +14,9 @@ from sam6d_tpu.data.megapose import (
     _aug_multiply, _aug_gauss_noise, _aug_linear_contrast, _aug_grayscale)
 
 
+pytestmark = pytest.mark.core  # sub-5-min correctness core
+
+
 @pytest.fixture
 def img():
     rng = np.random.RandomState(7)

@@ -1,5 +1,6 @@
 """Property + parity tests for geometry ops (numpy is the oracle)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sam6d_tpu.ops import (
@@ -10,6 +11,9 @@ from sam6d_tpu.ops import (
     transform_points,
     inverse_transform_points,
 )
+
+
+pytestmark = pytest.mark.core  # sub-5-min correctness core
 
 
 def random_rotation(rng):

@@ -3,6 +3,7 @@ CropResizePad, numpy oracles for the three matching scores."""
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -24,6 +25,9 @@ torch.manual_seed(1)
 
 
 # ------------------------------------------------------------ DINOv2 oracle
+
+pytestmark = pytest.mark.core  # sub-5-min correctness core
+
 
 class TorchDinoBlock(nn.Module):
     def __init__(self, dim, heads):

@@ -9,11 +9,15 @@ colors) and the renderer's per-fragment texture sampling.
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from sam6d_tpu.data.mesh import Mesh, load_ply, load_obj, load_mesh
 from sam6d_tpu.render.templates import render_templates, _sample_texture
 from sam6d_tpu.render.poses import look_at
+
+
+pytestmark = pytest.mark.core  # sub-5-min correctness core
 
 
 def _write_texture(path, left=(255, 0, 0), right=(0, 255, 0), size=16):

@@ -13,6 +13,9 @@ from sam6d_tpu.render.poses import (
 REF = "/root/reference/SAM-6D/Instance_Segmentation_Model/utils/poses/predefined_poses"
 
 
+pytestmark = pytest.mark.core  # sub-5-min correctness core
+
+
 @pytest.mark.parametrize("level,n", [(0, 42), (1, 162), (2, 642)])
 def test_cam_pose_set_matches_reference(level, n):
     ref = np.load(f"{REF}/cam_poses_level{level}.npy")

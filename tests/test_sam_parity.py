@@ -20,6 +20,9 @@ from sam6d_tpu.weights.convert_sam import (
 torch.manual_seed(2)
 
 
+pytestmark = pytest.mark.core  # sub-5-min correctness core
+
+
 def test_sam_encoder_parity(rng):
     tref = TorchSAMEncoder(img=64, patch=16, dim=32, depth=3, heads=4,
                            window=3, global_idx=(1,), out_ch=16).eval()

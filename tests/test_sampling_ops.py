@@ -1,5 +1,6 @@
 """Tests for FPS, ball query, grouping, embeddings, pointcloud ops."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,9 @@ from sam6d_tpu.ops import (
     radius_outlier_mask,
     cloud_radius,
 )
+
+
+pytestmark = pytest.mark.core  # sub-5-min correctness core
 
 
 def fps_numpy(pts, m):

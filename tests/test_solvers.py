@@ -1,5 +1,6 @@
 """Pose solver tests: synthetic rigid scenes with known assignments."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,9 @@ from sam6d_tpu.pose.solvers import (
     compute_fine_Rt,
 )
 from tests.test_geometry import random_rotation
+
+
+pytestmark = pytest.mark.core  # sub-5-min correctness core
 
 
 def make_scene(rng, B=2, N=64, noise=0.0):
