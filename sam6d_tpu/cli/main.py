@@ -108,6 +108,12 @@ def cmd_stream(args):
     from ..render.templates import render_templates
 
     cfg = default_config()
+    if args.proposals:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, ism=dataclasses.replace(
+                cfg.ism, sam=dataclasses.replace(
+                    cfg.ism.sam, max_proposals=args.proposals)))
     os.makedirs(args.output_dir, exist_ok=True)
     ism = ISMPipeline(cfg.ism,
                       segmentor=SAMSegmentor(
@@ -400,6 +406,9 @@ def build_parser():
     ps.add_argument("--no_overlap", action="store_true",
                     help="disable the double-buffered frame pipeline "
                          "(synchronous per-frame processing)")
+    ps.add_argument("--proposals", type=int, default=None,
+                    help="override the AMG proposal capacity (serving "
+                         "latency scales with it; bench.py uses 128)")
     ps.add_argument("--det_score_thresh", type=float, default=0.2)
     ps.add_argument("--sam_ckpt", default=os.environ.get("SAM_CKPT"))
     ps.add_argument("--dinov2_ckpt", default=os.environ.get("DINOV2_CKPT"))

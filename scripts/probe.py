@@ -185,14 +185,15 @@ def exp_enc():
     x = jnp.asarray(rng.rand(1, 1024, 1024, 3).astype(np.float32)).astype(jnp.bfloat16)
 
     def run(name, **kw):
-        enc = SAMImageEncoder(use_flash=True, dtype=jnp.bfloat16, **kw)
+        kw.setdefault("use_flash", True)
+        enc = SAMImageEncoder(dtype=jnp.bfloat16, **kw)
         v = cast_float_params(init_like(
             lambda: enc.init(jax.random.PRNGKey(0), x)), jnp.bfloat16)
         fwd = jax.jit(lambda v, x: jnp.sum(enc.apply(v, x)))
         report(name, timed(lambda i: fwd(v, x + i * 1e-6)), per=1)
 
     run("enc.full")
-    run("enc.unrolled", unroll=True)
+    run("enc.noflash", use_flash=False)  # XLA attend path (bias einsums)
 
 
 @exp("dino")
@@ -1564,6 +1565,49 @@ def exp_amgu():
         g = jax.jit(lambda v, e, p, m=mode: run(v, e, p, m))
         report(f"amgu.{mode}",
                timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
+@exp("amgt")
+def exp_amgt():
+    """Decode-floor variants (amgu.dec = 130 ms for 8x128 chunks ~= 4x its
+    FLOP+bandwidth floor): factored keys, chunk size, rank-only floor.
+    Each mode is the full 8-chunk unrolled decode-only program."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+
+    def run(name, chunk, factored=False, rank_only=False):
+        seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+        if factored:
+            import dataclasses
+            seg.mask_decoder = dataclasses.replace(
+                seg.mask_decoder, factored_keys=True)
+        _, _, pts = seg.frame_constants(480, 640, 768, 1024)
+
+        def prog(v, e, p):
+            dense_pe = seg.prompt_encoder.apply(
+                v["prompt_encoder"], method="dense_pe")
+            acc = jnp.float32(0)
+            for c in range(p.shape[0] // chunk):
+                pc = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk, 0)
+                m, iou = seg._decode_chunk(v, e, dense_pe, pc,
+                                           rank_only=rank_only)
+                acc = acc + jnp.sum(m) + jnp.sum(iou)
+            return acc
+
+        g = jax.jit(prog)
+        report(name, timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)),
+               per=1)
+
+    run("amgt.dec128", 128)
+    run("amgt.dec128_factored", 128, factored=True)
+    run("amgt.dec64", 64)
+    run("amgt.dec256", 256)
+    run("amgt.dec128_rankonly", 128, rank_only=True)
 
 
 @exp("dinochunk")
