@@ -144,6 +144,21 @@ class SAMConfig:
     # at the 32x32 operating point; the knob remains for larger grids.
     amg_prerank: int = 0
     amg_rank_chunk: int = 1024       # prompts per chunk in the rank pass
+    # EXACT iou-prefix pass: score every grid prompt's predicted IoU with
+    # the factored two-way transformer (token outputs exact, no (B, N, C)
+    # image tensor, no mask tail — probe amgs: 52.7 ms for all 1024
+    # points), then run the full decode + stability/boxes only on the top
+    # ceil(max_proposals * factor / points_per_batch) chunks of points by
+    # max-channel IoU. Same truncation argument as amg_nms_topk: greedy
+    # NMS keep decisions depend only on higher-IoU candidates, so outputs
+    # are identical to the full decode whenever the NMS-relevant prefix
+    # lies within the selected points (factor 1.0 = one point per output
+    # slot = 3x the capacity in candidates). Candidates that pass the IoU
+    # threshold but fail stability consume prefix slots; the candidate
+    # margin absorbs that. 0 = off (full-grid exact decode). Measured
+    # v5e at capacity 128: seg 221.7 -> 140.8 ms (factor 1.0 = 128
+    # points) / 162.7 (factor 2.0 = 256 points), probe seg.fused_prefix*.
+    amg_iou_prefix_factor: float = 1.0
     # NMS truncation: greedy NMS processes candidates in score order and a
     # candidate's keep decision depends only on HIGHER-scored candidates,
     # so running it on the top-T score prefix reproduces the full run's

@@ -172,6 +172,66 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :, :Nq, :hd]
 
 
+def _small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """One grid step = `hb` whole heads: scores + softmax + PV entirely in
+    VMEM/registers. Operands arrive UNPADDED (hd = 64 stays 64; N = 257
+    stays 257) — the blocks tile the logical arrays exactly, so Mosaic's
+    internal tile padding never reaches the math and HBM never sees a
+    padded copy."""
+    s = jax.lax.dot_general(q_ref[:], k_ref[:],
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:],
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (out / l).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_attention_small(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          scale: float, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """Fused attention for short sequences (ViT trunks: DINOv2-L 257
+    tokens, MAE 197). q/k/v: (B, H, N, hd). One grid step per head block,
+    full N per step, NO HBM-side padding: `fused_attention`'s padded
+    q_aug/k_aug copies (hd 64 -> 128, N 257 -> 384) cost more than the
+    saved score round-trips at these shapes (277 vs 217 ms for the
+    128-crop describe — PERFORMANCE.md round 2); this kernel reads the
+    operands verbatim (33.7 MB/block instead of ~150-200 MB)."""
+    B, H, N, hd = q.shape
+    dt = q.dtype
+    qf = q.reshape(B * H, N, hd)
+    kf = k.reshape(B * H, N, hd)
+    vf = v.reshape(B * H, N, hd)
+    BH = B * H
+    # per-step VMEM: hb * (3*N*hd*2 + N*N*(4+2)) bytes; hb=8 at 257 tokens
+    # is ~3.6 MB of scores + ~0.8 MB of operands
+    hb = 8
+    while BH % hb:
+        hb -= 1
+    out = pl.pallas_call(
+        partial(_small_kernel, scale=scale),
+        grid=(BH // hb,),
+        in_specs=[
+            pl.BlockSpec((hb, N, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, N, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, N, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hb, N, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, N, hd), dt),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, hd)
+
+
 @partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
 def flash_attention_relpos(
     q: jnp.ndarray,

@@ -962,7 +962,7 @@ class MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
-                 rank_only=False, sel_channel=None):
+                 rank_only=False, sel_channel=None, iou_only=False):
         """image_embeddings: (H, W, C) one image; image_pe: (H, W, C);
         sparse_prompt: (B, Np, C) per-prompt tokens; dense_prompt: (H, W, C).
         Returns (masks (B, 4, 4H, 4W) logits, iou_pred (B, 4)).
@@ -1006,6 +1006,15 @@ class MaskDecoder(nn.Module):
             num_heads=self.twoway_num_heads, mlp_dim=self.twoway_mlp_dim,
             dtype=self.dtype, name="transformer")
         kf = None
+        if iou_only:
+            # exact token-side pass with the image side kept factored —
+            # no (B, N, C) tensor and no upscale tail ever exist. Used by
+            # the AMG's iou-prefix pass (scores all candidates, masks only
+            # for the selected prefix).
+            hs, _ = tw.factored(src, pos, tokens)
+            iou_token_out = hs[:, 0]
+            return None, HyperMLP(256, self.num_mask_tokens, dtype=self.dtype,
+                                  name="iou_prediction_head")(iou_token_out)
         if self.factored_keys and self.block_masks and not rank_only:
             hs, kf = tw.factored(src, pos, tokens)
             src = None

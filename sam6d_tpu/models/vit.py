@@ -51,10 +51,14 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         if self.use_flash:
-            from ..kernels.flash_attention import fused_attention
+            from ..kernels.flash_attention import (fused_attention,
+                                                   fused_attention_small)
             q3 = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, hd)
-            out = fused_attention(q3[0], q3[1], q3[2],
-                                  scale=float(head_dim) ** -0.5)
+            # short trunks (DINOv2 257 / MAE 197 tokens): the small kernel
+            # reads q/k/v verbatim — fused_attention's HBM-padded q_aug
+            # copies (hd 64->128, N->384) cost more than it saves there
+            fa = fused_attention_small if N <= 512 else fused_attention
+            out = fa(q3[0], q3[1], q3[2], scale=float(head_dim) ** -0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         else:
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)

@@ -143,19 +143,23 @@ class SAMSegmentor:
     # -------------------------------------------------------------- internals
 
     def _decode_chunk(self, v, embedding, dense_pe, pts, rank_only=False,
-                      sel_channel=None):
+                      sel_channel=None, iou_only=False):
         """pts: (chunk, 2) coords in the 1024-frame. Returns
         (block-layout masks (chunk, 3*4, 4*grid^2) — rows (k, rs), channel
         0 dropped (multimask slice, reference mask_decoder.py:101-107) —
         and iou (chunk, 3)). With `sel_channel` (chunk,) in {0,1,2}, only
-        that multimask channel is decoded: masks (chunk, 4, 4*grid^2)."""
+        that multimask channel is decoded: masks (chunk, 4, 4*grid^2).
+        With `iou_only`, masks is None and only iou (chunk, 3) is
+        computed — exact (factored keys), no mask tail."""
         labels = jnp.ones(pts.shape[0], jnp.int32)[:, None]
         sparse, dense = self.prompt_encoder.apply(
             v["prompt_encoder"], pts[:, None, :], labels)
         masks, iou = self.mask_decoder.apply(
             v["mask_decoder"], embedding, dense_pe, sparse, dense,
-            rank_only=rank_only,
+            rank_only=rank_only, iou_only=iou_only,
             sel_channel=None if sel_channel is None else sel_channel + 1)
+        if iou_only:
+            return None, iou[:, 1:]
         if sel_channel is not None:
             return masks, iou[:, 1:]
         return masks[:, 4:, :], iou[:, 1:]
@@ -278,6 +282,20 @@ class SAMSegmentor:
         stab = jnp.concatenate([p[1] for p in pairs])
         return iou.reshape(P, -1), stab.reshape(P, -1)
 
+    def _iou_all_impl(self, v, embedding, dense_pe, points):
+        """Exact predicted-IoU for every grid prompt — factored image side,
+        no mask tail (MaskDecoder iou_only). Returns (P, 3)."""
+        chunk = self.cfg.points_per_batch
+        P = points.shape[0]
+        assert P % chunk == 0, (P, chunk)
+        ious = []
+        for c in range(P // chunk):
+            pc = jax.lax.dynamic_slice_in_dim(points, c * chunk, chunk, 0)
+            _, iou = self._decode_chunk(v, embedding, dense_pe, pc,
+                                        iou_only=True)
+            ious.append(iou)
+        return jnp.concatenate(ious)
+
     def _masks_for_impl(self, v, embedding, sel_points, sel_channel, Ry, Rx,
                         hs, ws, h_in, w_in):
         """Recompute masks for selected (point, channel) pairs ->
@@ -326,6 +344,21 @@ class SAMSegmentor:
             key = jnp.max(iou_a + 10.0 * valid_a, axis=1)
             _, top = jax.lax.top_k(key, cfg.amg_prerank)
             points = points[top]
+        elif cfg.amg_iou_prefix_factor > 0:
+            # EXACT iou-prefix pass (see SAMConfig.amg_iou_prefix_factor):
+            # every prompt's predicted IoU from the factored token-side
+            # pass, then full decode + stability/boxes for the top points
+            # only. The prefix scales with the proposal capacity.
+            chunk = cfg.points_per_batch
+            pref = -(-int(cfg.max_proposals * cfg.amg_iou_prefix_factor)
+                     // chunk) * chunk
+            if pref < points.shape[0] and points.shape[0] % chunk == 0:
+                dense_pe0 = self.prompt_encoder.apply(
+                    v["prompt_encoder"], method="dense_pe")
+                iou_a = self._iou_all_impl(v, embedding, dense_pe0, points)
+                key = jnp.max(iou_a, axis=1)
+                _, top = jax.lax.top_k(key, pref)
+                points = points[top]
         P = points.shape[0]
         pad = (-P) % cfg.points_per_batch
         pts_pad = points if pad == 0 else jnp.concatenate(

@@ -1390,9 +1390,12 @@ def exp_seg():
     results = {}
     # (the encoder_unroll knob was deleted after round-4 measurement:
     # fused_unroll 227.9 vs fused_scan 228.0 — no effect)
-    for name, unroll in (("seg.fused_scan", False),):
+    for name, prefix in (("seg.fused_prefix0", 0.0),
+                         ("seg.fused_prefix256", 2.0),
+                         ("seg.fused_prefix128", 1.0)):
         cfg = SAMConfig(max_proposals=128, pred_iou_thresh=-10.0,
-                        stability_score_thresh=0.0)
+                        stability_score_thresh=0.0,
+                        amg_iou_prefix_factor=prefix)
         seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
         canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
         Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
@@ -1408,7 +1411,7 @@ def exp_seg():
         prog = jax.jit(run)
         report(name, timed(lambda i: prog(seg.vars, canvas_j + i * 1e-6)),
                per=1)
-        if not unroll:
+        if prefix == 0:
             enc = jax.jit(lambda v, c: jnp.sum(
                 seg.encoder.apply(v["image_encoder"], c)))
             report("seg.enc_only_scan",
@@ -1608,6 +1611,245 @@ def exp_amgt():
     run("amgt.dec64", 64)
     run("amgt.dec256", 256)
     run("amgt.dec128_rankonly", 128, rank_only=True)
+
+
+@exp("amgs")
+def exp_amgs():
+    """Exact two-pass decode: an iou-only factored pass (no (B,N,C)
+    tensors, no mask tail — exact token outputs) over all 1024 points,
+    then the full exact decode on the top-P points only. Compare against
+    amgt.dec128 = 126.2 ms (8x128 exact chunks)."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    emb = jnp.asarray(rng.rand(64, 64, 256).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    _, _, pts = seg.frame_constants(480, 640, 768, 1024)
+
+    def iou_pass(v, e, p, chunk):
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        ious = []
+        for c in range(p.shape[0] // chunk):
+            pc = jax.lax.dynamic_slice_in_dim(p, c * chunk, chunk, 0)
+            _, iou = seg._decode_chunk(v, e, dense_pe, pc, iou_only=True)
+            ious.append(iou)
+        return jnp.concatenate(ious)
+
+    for chunk in (128, 256, 512):
+        g = jax.jit(lambda v, e, p, c=chunk: jnp.sum(iou_pass(v, e, p, c)))
+        report(f"amgs.iou{chunk}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+    def twopass(v, e, p, topp):
+        dense_pe = seg.prompt_encoder.apply(
+            v["prompt_encoder"], method="dense_pe")
+        iou_a = iou_pass(v, e, p, 256)              # (P, 3) exact
+        key = jnp.max(iou_a, axis=1)
+        _, top = jax.lax.top_k(key, topp)
+        sel = p[top]
+        acc = jnp.float32(0)
+        for c in range(topp // 128):
+            pc = jax.lax.dynamic_slice_in_dim(sel, c * 128, 128, 0)
+            m, iou = seg._decode_chunk(v, e, dense_pe, pc)
+            acc = acc + jnp.sum(m) + jnp.sum(iou)
+        return acc + jnp.sum(iou_a)
+
+    for topp in (128, 256):
+        g = jax.jit(lambda v, e, p, t=topp: twopass(v, e, p, t))
+        report(f"amgs.twopass{topp}",
+               timed(lambda i: g(seg.vars, emb + i * 1e-7, pts)), per=1)
+
+
+@exp("dinof")
+def exp_dinof():
+    """Match-stage itemization at capacity 128: GEMM floor, bare trunk
+    (8x16 chunks, one jit), cond-gated trunk (production shape), single
+    batch-128 apply, crop-gather alone. Finds where the describe loses
+    ~2x vs the ViT-L GEMM floor (~101 ms for 8 chunks at 197 TF/s)."""
+    from sam6d_tpu.core.config import DINOv2Config
+    from sam6d_tpu.models.dinov2 import DINOv2
+    from sam6d_tpu.core.params import cast_float_params
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    D, Hd = c.embed_dim, c.num_heads
+    M = 16 * 257
+
+    # 1) pure GEMM stack floor at trunk shapes
+    x = jnp.asarray(rng.rand(M, D).astype(np.float32)).astype(jnp.bfloat16)
+    Wqkv = jnp.asarray(rng.rand(c.depth, D, 3 * D).astype(np.float32) * .01
+                       ).astype(jnp.bfloat16)
+    Wp = jnp.asarray(rng.rand(c.depth, D, D).astype(np.float32) * .01
+                     ).astype(jnp.bfloat16)
+    W1 = jnp.asarray(rng.rand(c.depth, D, 4 * D).astype(np.float32) * .01
+                     ).astype(jnp.bfloat16)
+    W2 = jnp.asarray(rng.rand(c.depth, 4 * D, D).astype(np.float32) * .01
+                     ).astype(jnp.bfloat16)
+
+    def block(h, w):
+        wqkv, wp, w1, w2 = w
+        q = h @ wqkv
+        q = q[:, :D] + q[:, D:2 * D] * 0.1 + q[:, 2 * D:] * 0.1
+        h = h + q @ wp
+        return h + jax.nn.gelu(h @ w1) @ w2
+
+    @jax.jit
+    def gemm8(x, ws):
+        acc = jnp.float32(0)
+        for i in range(8):
+            y, _ = jax.lax.scan(lambda cc, w: (block(cc, w), None),
+                                x + i * 1e-6, ws)
+            acc += jnp.sum(y)
+        return acc
+
+    sec = timed(lambda i: gemm8(x + i * 1e-6, (Wqkv, Wp, W1, W2)))
+    report("dinof.gemm8x16", sec, per=1)
+    flops = 8 * c.depth * (M * D * 3 * D + M * D * D + 2 * M * D * 4 * D) * 2
+    _log(f"dinof.gemm8x16: {flops/sec/1e12:.1f} TF/s")
+
+    net = DINOv2(patch_size=c.patch_size, embed_dim=D, depth=c.depth,
+                 num_heads=Hd, dtype=jnp.bfloat16)
+    xi = jnp.asarray(rng.rand(16, 224, 224, 3).astype(np.float32)).astype(
+        jnp.bfloat16)
+    v = cast_float_params(init_like(
+        lambda: net.init(jax.random.PRNGKey(0), xi[:1])), jnp.bfloat16)
+
+    @jax.jit
+    def trunk8(v, xx):
+        acc = jnp.float32(0)
+        for i in range(8):
+            cls, patch = net.apply(v, xx + i * 1e-6)
+            acc += jnp.sum(cls) + jnp.sum(patch)
+        return acc
+    report("dinof.trunk8x16", timed(lambda i: trunk8(v, xi + i * 1e-6)),
+           per=1)
+
+    netf = DINOv2(patch_size=c.patch_size, embed_dim=D, depth=c.depth,
+                  num_heads=Hd, dtype=jnp.bfloat16, use_flash=True)
+
+    @jax.jit
+    def trunkf8(v, xx):
+        acc = jnp.float32(0)
+        for i in range(8):
+            cls, patch = netf.apply(v, xx + i * 1e-6)
+            acc += jnp.sum(cls) + jnp.sum(patch)
+        return acc
+    report("dinof.trunkflash8x16",
+           timed(lambda i: trunkf8(v, xi + i * 1e-6)), per=1)
+
+    @jax.jit
+    def cond8(v, xx, n):
+        acc = jnp.float32(0)
+        for i in range(8):
+            cls, patch = jax.lax.cond(
+                n > i * 16,
+                lambda q: net.apply(v, q),
+                lambda q: (jnp.zeros((16, D), jnp.bfloat16),
+                           jnp.zeros((16, 256, D), jnp.bfloat16)),
+                xx + i * 1e-6)
+            acc += jnp.sum(cls) + jnp.sum(patch)
+        return acc
+    report("dinof.cond8x16",
+           timed(lambda i: cond8(v, xi + i * 1e-6, jnp.int32(128))), per=1)
+
+    xb = jnp.concatenate([xi] * 8)
+
+    @jax.jit
+    def batch128(v, xx):
+        cls, patch = net.apply(v, xx)
+        return jnp.sum(cls) + jnp.sum(patch)
+    report("dinof.batch128", timed(lambda i: batch128(v, xb + i * 1e-6)),
+           per=1)
+
+    # crop-gather alone at capacity
+    from sam6d_tpu.ops.images import masked_crop_resize_pad_nearest
+    rgb = jnp.asarray(rng.rand(480, 640, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(128, 480, 640) > 0.7).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack([np.full(128, 10.), np.full(128, 10.),
+                  np.full(128, 500.), np.full(128, 400.)], -1)
+        .astype(np.float32))
+
+    @jax.jit
+    def cropg(rgb, masks, boxes):
+        cr, mc = masked_crop_resize_pad_nearest(rgb, masks, boxes, 224)
+        return jnp.sum(cr) + jnp.sum(mc)
+    report("dinof.crop128",
+           timed(lambda i: cropg(rgb + i * 1e-6, masks, boxes)), per=1)
+
+
+@exp("dinoi")
+def exp_dinoi():
+    """Pinpoint the DINOv2 trunk's ~93 ms non-GEMM overhead (dinof:
+    trunk8x16 204.2 vs gemm8x16 110.1): incrementally add the attention
+    einsum chain, LayerNorms, LayerScale to the pure GEMM stack. All
+    variants run the same 8-chunk x 24-block x (4112, 1024) shapes."""
+    from sam6d_tpu.core.config import DINOv2Config
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    D, Hd, depth = c.embed_dim, c.num_heads, c.depth
+    B, N = 16, 257
+    hd = D // Hd
+    x0 = jnp.asarray(rng.rand(B, N, D).astype(np.float32)).astype(
+        jnp.bfloat16)
+    mk = lambda *sh: jnp.asarray(
+        rng.rand(*sh).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+    ws = dict(wqkv=mk(depth, D, 3 * D), wp=mk(depth, D, D),
+              w1=mk(depth, D, 4 * D), w2=mk(depth, 4 * D, D),
+              g1=mk(depth, D), b1=mk(depth, D), g2=mk(depth, D),
+              b2=mk(depth, D), ls1=mk(depth, D), ls2=mk(depth, D))
+
+    def ln(x, g, b):
+        m = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        v = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return (((x - m) * jax.lax.rsqrt(v + 1e-6)).astype(x.dtype)
+                * g + b)
+
+    def block(x, w, attn, norms, scale):
+        wqkv, wp, w1, w2, g1, b1, g2, b2, ls1, ls2 = w
+        h = ln(x, g1, b1) if norms else x
+        qkv = h @ wqkv
+        if attn:
+            qkv = qkv.reshape(B, N, 3, Hd, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(
+                x.dtype)
+            a = jax.nn.softmax(a, axis=-1)
+            o = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        else:
+            o = (qkv[..., :D] + qkv[..., D:2 * D] * 0.1
+                 + qkv[..., 2 * D:] * 0.1)
+        o = o @ wp
+        x = x + (ls1 * o if scale else o)
+        h = ln(x, g2, b2) if norms else x
+        o = jax.nn.gelu(h @ w1) @ w2
+        return x + (ls2 * o if scale else o)
+
+    order = ("wqkv", "wp", "w1", "w2", "g1", "b1", "g2", "b2", "ls1", "ls2")
+    wtup = tuple(ws[k] for k in order)
+
+    def run(name, attn, norms, scale):
+        @jax.jit
+        def prog(x, ws):
+            acc = jnp.float32(0)
+            for i in range(8):
+                y, _ = jax.lax.scan(
+                    lambda cc, w: (block(cc, w, attn, norms, scale), None),
+                    x + i * 1e-6, ws)
+                acc += jnp.sum(y)
+            return acc
+        report(name, timed(lambda i: prog(x0 + i * 1e-6, wtup)), per=1)
+
+    run("dinoi.gemm", False, False, False)
+    run("dinoi.gemm_attn", True, False, False)
+    run("dinoi.gemm_ln", False, True, False)
+    run("dinoi.gemm_attn_ln", True, True, False)
+    run("dinoi.full", True, True, True)
 
 
 @exp("dinochunk")

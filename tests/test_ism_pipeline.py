@@ -303,6 +303,44 @@ def test_crop_cascade_amg(rng):
     assert len(boxes) == 5 and layers[1:] == [1, 1, 1, 1]
 
 
+def test_propose_iou_prefix_matches_restricted_full(rng):
+    """amg_iou_prefix: (a) the selected points are exactly the top-P of
+    the iou-only ranking (which test_mask_decoder_iou_only_matches_full
+    pins to the full decode's IoU), and (b) the prefix propose is
+    bit-identical to the full propose RESTRICTED to those points — i.e.
+    the pass is pure point-subsetting, no other semantic change. (End
+    equality with the unrestricted full grid additionally needs the
+    NMS-relevant prefix to fit in P — guaranteed only by the capacity
+    margin, which tiny random weights don't provide: near-identical
+    random masks make NMS suppress arbitrarily deep.)"""
+    import jax
+
+    base = dataclasses.replace(tiny_sam_cfg(), max_proposals=4,
+                               amg_iou_prefix_factor=0.0)
+    seg = SAMSegmentor(base, seed=0)
+    frame = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    canvas, _, (hs, ws), (h_in, w_in) = seg.preprocess_frame(frame)
+    Ry, Rx, pts = seg.frame_constants(hs, ws, h_in, w_in)
+    emb = seg._encode(seg.vars, jnp.asarray(canvas[None]))[0]
+
+    # reproduce the selection with the public pieces
+    dpe = seg.prompt_encoder.apply(seg.vars["prompt_encoder"],
+                                   method="dense_pe")
+    iou_a = seg._iou_all_impl(seg.vars, emb, dpe, jnp.asarray(pts))
+    _, top = jax.lax.top_k(jnp.max(iou_a, axis=1), 8)
+    restricted = seg._propose(seg.vars, emb, jnp.asarray(pts)[top], Ry, Rx,
+                              hs=hs, ws=ws, h_in=h_in, w_in=w_in)
+
+    # factor 2.0 at capacity 4, chunk 8 -> prefix = 8 of the 16 points
+    segp = SAMSegmentor(dataclasses.replace(base, amg_iou_prefix_factor=2.0),
+                        variables=seg.vars)
+    pref = segp._propose(seg.vars, emb, pts, Ry, Rx, hs=hs, ws=ws,
+                         h_in=h_in, w_in=w_in)
+    for a, b, nm in zip(restricted, pref, ("masks", "boxes", "valid", "iou")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
+
+
 def test_propose_gathered_low_masks_equal_redecode(rng):
     """_propose_impl now takes the selected proposals' masks from the
     score pass's kept low-res logits (gather) instead of re-decoding the

@@ -116,6 +116,25 @@ def test_fused_attention_matches_softmax(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_fused_attention_small_matches_softmax(rng):
+    """Short-trunk kernel (no HBM-side padding): odd N + hd 64, the
+    DINOv2-L shape class."""
+    from sam6d_tpu.kernels.flash_attention import fused_attention_small
+    B, heads, N, hd = 2, 4, 57, 64
+    scale = hd ** -0.5
+    q = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    k = rng.randn(B, heads, N, hd).astype(np.float32) * 0.5
+    v = rng.randn(B, heads, N, hd).astype(np.float32)
+    attn = np.einsum("bhnc,bhmc->bhnm", q * scale, k)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmc->bhnc", attn, v)
+    got = np.asarray(fused_attention_small(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_vit_attention_flash_matches_einsum(rng):
     """Module-level: Attention(use_flash) == Attention(einsum path)."""
     import jax

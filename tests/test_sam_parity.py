@@ -212,6 +212,28 @@ def test_mask_decoder_sel_channel_matches_full(rng):
 
 
 @pytest.mark.slow
+def test_mask_decoder_iou_only_matches_full(rng):
+    """iou_only (factored token-side pass, no mask tail) returns the same
+    predicted IoU as the full decode — the AMG iou-prefix pass relies on
+    this ranking being exact."""
+    import jax
+    import jax.numpy as jnp
+
+    dec = MaskDecoder(transformer_dim=32, twoway_num_heads=4,
+                      twoway_mlp_dim=64, block_layout=True, block_masks=True)
+    g = 8
+    emb = jnp.asarray(rng.randn(g, g, 32).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, 32).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(6, 2, 32).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, 32).astype(np.float32) * 0.3)
+    v = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    _, want_iou = dec.apply(v, emb, pe, sparse, dense)
+    none_m, got_iou = dec.apply(v, emb, pe, sparse, dense, iou_only=True)
+    assert none_m is None
+    np.testing.assert_allclose(np.asarray(got_iou), np.asarray(want_iou),
+                               atol=1e-4)
+
+
 def test_factored_keys_matches_standard(rng):
     """The factored image-side transformer (a*S + P@U carried through both
     layers + final attention) == the standard materialized path, exactly."""
