@@ -216,6 +216,151 @@ def bench_dino_match(dtype, proposals: int):
     return t_full, t_48
 
 
+def bench_e2e_measured(dtype, proposals: int = 128, pinned_valid: int = 48,
+                       pem_dets: int = 16, frames: int = 8):
+    """Measured TRUE end-to-end frame + streaming cadence (VERDICT r4 item 2).
+
+    One synchronous whole-frame path — device AMG (encoder + fused tail) ->
+    fused describe/score -> host transfer + RLE + instance prep -> batched
+    PEM — timed as raw wall-clock per frame, like the reference's per-frame
+    instrumentation (model/detector.py:391-398, test_bop.py:160-165). Then
+    the same stack through MultiObjectStream.process_stream (1 frame in
+    flight) for the steady-state completion-to-completion p50/p95.
+
+    Load pinning (weights here are eval-shape constants; latency is
+    weight-independent but DETECTION COUNTS are not, so the load is pinned
+    to the benchmark operating point instead of letting degenerate
+    constant-weight masks collapse the host tail): the describe/score pass
+    runs on the first `pinned_valid` proposal slots (typical-48), and the
+    PEM stage receives `pem_dets` detections whose masks are synthetic
+    random blobs at full resolution (realistic RLE/instance-prep content).
+    Every device program and every host component still runs at its real
+    production shape.
+
+    Returns (e2e_median_s, stream dict)."""
+    import jax
+    from sam6d_tpu.core.config import ISMConfig, PEMConfig, SAMConfig
+    from sam6d_tpu.models.pem import PEMNet
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+    from sam6d_tpu.pipelines.pem import PEMPipeline
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+    from sam6d_tpu.pipelines.streaming import MultiObjectStream
+    from sam6d_tpu.render.poses import template_obj_poses
+
+    rng = np.random.RandomState(0)
+    H, W = 480, 640
+
+    sam_cfg = SAMConfig(max_proposals=proposals, pred_iou_thresh=-10.0,
+                        stability_score_thresh=0.0)
+    seg = SAMSegmentor(sam_cfg, variables="eval_shape", dtype=dtype)
+    cfg = ISMConfig(sam=sam_cfg)
+    ism = ISMPipeline(cfg, dinov2_variables="eval_shape", segmentor=seg,
+                      dtype=dtype)
+
+    pc = PEMConfig()
+    S, NF = pc.img_size, pc.fine_npoint
+    net = PEMNet(pc, dtype=dtype)
+    dummy = dict(
+        rgb=jnp.zeros((1, S, S, 3), jnp.float32),
+        rgb_choose=jnp.zeros((1, NF), jnp.int32),
+        pts=jnp.ones((1, NF, 3), jnp.float32),
+        model=jnp.ones((1, pc.n_sample_model_point, 3), jnp.float32),
+        dense_po=jnp.ones((1, NF, 3), jnp.float32),
+        dense_fo=jnp.ones((1, NF, pc.vit.out_dim), jnp.float32),
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_like(lambda: net.init({"params": key}, dummy, key))
+    pem = PEMPipeline(pc, params=params, dtype=dtype)
+
+    # ---- onboarding (one object; excluded from per-frame timing, as in
+    # production serving)
+    d = cfg.dinov2
+    n_patch = (d.img_size // d.patch_size) ** 2
+    desc = jnp.asarray(rng.rand(1, 42, d.embed_dim).astype(np.float32))
+    appe = jnp.asarray(
+        rng.rand(1, 42, n_patch, d.embed_dim).astype(np.float32))
+    poses_R = jnp.asarray(
+        template_obj_poses(0)[:, :3, :3].astype(np.float32))
+    cloud = jnp.asarray(rng.rand(1, 2048, 3).astype(np.float32) * 0.05)
+    V = pc.n_template_view
+    tem = dict(
+        rgb=rng.rand(V, S, S, 3).astype(np.float32),
+        choose=rng.randint(0, S * S, (V, NF)).astype(np.int32),
+        pts=((rng.rand(V, NF, 3) - 0.5) * 0.1).astype(np.float32),
+    )
+    _log("e2e: onboarding templates (one-time)")
+    templates = pem.onboard_templates(tem)
+    model_pts = jnp.asarray(
+        ((rng.rand(pc.n_sample_model_point, 3) - 0.5) * 0.08)
+        .astype(np.float32))
+
+    stream = MultiObjectStream(ism, pem, det_score_thresh=-1.0)
+    stream._objs.append(dict(obj_id=1, cls=desc[0], appe=appe[0],
+                             poses_R=poses_R, templates=templates,
+                             model=model_pts, cloud=cloud[0]))
+
+    # ---- load pinning (see docstring)
+    pin = jnp.asarray(np.arange(proposals) < pinned_valid)
+    orig_score = ism._score_frame
+
+    def pinned_score(v, rgb01, masks, boxes, valid, *rest, **kw):
+        return orig_score(v, rgb01, masks, boxes, pin, *rest, **kw)
+
+    ism._score_frame = pinned_score
+
+    synth = np.zeros((proposals, H, W), np.float32)
+    for i in range(proposals):
+        y0, x0 = rng.randint(0, H - 80), rng.randint(0, W - 80)
+        h, w = rng.randint(40, 80), rng.randint(40, 80)
+        blob = (rng.rand(h, w) > 0.15).astype(np.float32)  # holes: real RLE
+        synth[i, y0:y0 + h, x0:x0 + w] = blob
+    synth_dev = jax.device_put(jnp.asarray(synth))
+    det_valid = jnp.asarray(np.arange(proposals) < pem_dets)
+    orig_mfd = ism.match_frame_device
+
+    def pinned_mfd(*a, **kw):
+        out = orig_mfd(*a, **kw)
+        out["valid"] = det_valid
+        out["masks"] = synth_dev  # same shape/dtype/bytes as the real stack
+        return out
+
+    ism.match_frame_device = pinned_mfd
+
+    # ---- frames
+    frame_data = []
+    for f in range(4):
+        rgb = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        depth = (rng.rand(H, W) * 400 + 400).astype(np.float32)
+        frame_data.append((rgb, depth))
+    Kmat = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]],
+                    np.float32)
+
+    _log("e2e: compiling (first frame)")
+    stream.process_frame(*frame_data[0], Kmat, 1.0, seed=0)
+    _log("e2e: warm; measuring synchronous frames")
+    times = []
+    for i in range(frames):
+        rgb, depth = frame_data[i % len(frame_data)]
+        t0 = time.perf_counter()
+        stream.process_frame(rgb, depth, Kmat, 1.0, seed=i + 1)
+        times.append(time.perf_counter() - t0)
+    e2e_s = sorted(times)[len(times) // 2]
+    _log(f"e2e measured (sync): {e2e_s*1e3:.1f} ms")
+
+    # ---- streaming steady state (fresh stats)
+    stream.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
+    stream._frame_s = []
+    stream._last_done = None
+    feed = [(frame_data[i % len(frame_data)][0],
+             frame_data[i % len(frame_data)][1], Kmat, 1.0)
+            for i in range(frames + 4)]
+    for _ in stream.process_stream(feed, depth_in_flight=1):
+        pass
+    tp = stream.throughput()
+    _log(f"stream p50: {tp.get('p50_ms')} ms, p95: {tp.get('p95_ms')} ms")
+    return e2e_s, tp
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "full")
     proposals = int(os.environ.get("BENCH_PROPOSALS", "128"))
@@ -255,6 +400,20 @@ def main():
         extras[f"{name}_ms"] = round(t * 1e3, 2)
         total += t
         covered += f"+{name}"
+
+    if (covered == "pem+seg+match" and time.time() - _T0 < budget
+            and os.environ.get("BENCH_E2E", "1") == "1"):
+        _log("stage: e2e measured + streaming")
+        try:
+            e2e_s, tp = bench_e2e_measured(dtype, proposals)
+            extras["e2e_measured_ms"] = round(e2e_s * 1e3, 2)
+            if tp.get("p50_ms"):
+                extras["stream_p50_ms"] = tp["p50_ms"]
+                extras["stream_p95_ms"] = tp["p95_ms"]
+                extras["stream_vs_sync"] = round(
+                    tp["p50_ms"] / (e2e_s * 1e3), 3)
+        except Exception as e:
+            _log(f"e2e measured FAILED: {type(e).__name__}: {e}")
 
     if covered == "pem+seg+match" and time.time() - _T0 < budget:
         _log("stage: fastsam (diagnostic)")

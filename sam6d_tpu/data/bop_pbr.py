@@ -4,8 +4,24 @@ Parity target: reference `Instance_Segmentation_Model/provider/bop_pbr.py`
 (BOPTemplatePBR :28-248): for each object, scan the train_pbr split's
 ground truth, keep instances with visib_fract > 0.8, subsample candidates,
 and for each of the 42 level-0 template viewpoints pick the crop whose GT
-rotation is nearest (geodesic) to that viewpoint; the masked RGB crop then
+VIEWING DIRECTION is nearest to that viewpoint's; the masked RGB crop then
 serves as the template image for descriptor onboarding.
+
+Nearest-template metric (reference `utils/poses/pose_utils.py:285-296`
+search_nearest_query): Euclidean distance between the OpenGL-converted
+poses' third rows `opencv2opengl(P)[2, :3]` — i.e. the camera viewing axis
+expressed in object coordinates. The OpenCV->OpenGL conversion negates that
+row for BOTH query and template, so distances equal those between the raw
+third rotation rows; in-plane rotation about the viewing axis is ignored
+(two crops seeing the object from the same direction but rolled differently
+are equally "near"). This differs from full-rotation geodesic distance,
+which would penalize in-plane rotation.
+
+One deliberate divergence: the reference subsamples candidates with
+`np.random.choice(idx, 5000)` (WITH replacement, unseeded, even when fewer
+than 5000 candidates exist — provider/bop_pbr.py:180); this miner samples
+without replacement, only when the pool exceeds `max_candidates`, and with
+a fixed seed, so mining is deterministic and never duplicates crops.
 """
 from __future__ import annotations
 
@@ -27,6 +43,19 @@ def rotation_geodesic(Ra: np.ndarray, Rb: np.ndarray) -> np.ndarray:
     tr = np.einsum("nij,mij->nm", Ra, Rb)
     cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     return np.arccos(cos)
+
+
+def viewing_direction_distance(Ra: np.ndarray, Rb: np.ndarray) -> np.ndarray:
+    """Euclidean distance between the viewing directions (third rotation
+    rows) of (N,3,3) and (M,3,3) -> (N,M). Matches the reference
+    search_nearest_query metric (pose_utils.py:285-296): both sides pass
+    through opencv2opengl, which negates the third row identically, so raw
+    rows give the same distances. In-plane rotation is ignored."""
+    va = Ra[:, 2, :]
+    vb = Rb[:, 2, :]
+    d2 = (np.sum(va * va, -1)[:, None] + np.sum(vb * vb, -1)[None, :]
+          - 2.0 * va @ vb.T)
+    return np.sqrt(np.maximum(d2, 0.0))
 
 
 @dataclass
@@ -54,7 +83,8 @@ class PBRTemplateMiner:
     def mine(self, obj_ids: Optional[List[int]] = None
              ) -> Dict[int, List[Dict]]:
         """For each object: one candidate record per template viewpoint
-        (nearest GT rotation)."""
+        (nearest GT viewing direction, in-plane ignored — the reference
+        search_nearest_query selection)."""
         rng = np.random.RandomState(self.seed)
         per_obj: Dict[int, List] = {}
         for scene_dir in sorted(glob.glob(
@@ -71,7 +101,7 @@ class PBRTemplateMiner:
                 idx = rng.choice(len(cands), self.max_candidates, replace=False)
                 cands = [cands[i] for i in idx]
             Rs = np.stack([c["R"] for c in cands])
-            d = rotation_geodesic(template_R.astype(np.float32), Rs)
+            d = viewing_direction_distance(template_R.astype(np.float32), Rs)
             nearest = d.argmin(axis=1)
             out[obj_id] = [cands[i] for i in nearest]
         return out

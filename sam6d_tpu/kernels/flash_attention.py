@@ -63,8 +63,11 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref):
                             preferred_element_type=jnp.float32)  # (hb, Tq, Nk)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:],
+    # l sums the same value-dtype cast the PV matmul consumes (fp32
+    # accumulation) so numerator/denominator probabilities agree in bf16
+    pc = p.astype(v_ref.dtype)
+    l = jnp.sum(pc.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jax.lax.dot_general(pc, v_ref[:],
                               (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     o_ref[:] = (out / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -184,8 +187,13 @@ def _small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     s = s * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:],
+    # numerator and denominator must see the SAME probabilities: the PV
+    # matmul consumes the value-dtype cast of p, so l sums that cast (fp32
+    # accumulation), not the pre-cast fp32 p — otherwise bf16 runs bias
+    # out/l slightly low (ADVICE round 4)
+    pc = p.astype(v_ref.dtype)
+    l = jnp.sum(pc.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jax.lax.dot_general(pc, v_ref[:],
                               (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     o_ref[:] = (out / l).astype(o_ref.dtype)
@@ -208,9 +216,13 @@ def fused_attention_small(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = k.reshape(B * H, N, hd)
     vf = v.reshape(B * H, N, hd)
     BH = B * H
-    # per-step VMEM: hb * (3*N*hd*2 + N*N*(4+2)) bytes; hb=8 at 257 tokens
-    # is ~3.6 MB of scores + ~0.8 MB of operands
-    hb = 8
+    # per-step VMEM: hb * (4*N*hd*itemsize + N*N*(4+itemsize)) bytes
+    # (q/k/v/out operands + fp32 scores + value-dtype p copy). Cap the
+    # working set at the budget so larger N (e.g. 512) scales hb down
+    # instead of overflowing VMEM (ADVICE round 4).
+    item = jnp.dtype(dt).itemsize
+    per_head = 4 * N * hd * item + N * N * (4 + item)
+    hb = max(1, min(8, _VMEM_BUDGET // max(per_head, 1)))
     while BH % hb:
         hb -= 1
     out = pl.pallas_call(

@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 
 def _gelu_exact(x):
+    # dtype-gated like models.vit.gelu (shared fp32 tanh-poly form in bf16,
+    # <= 1.79e-5 deviation; exact erf in fp32) — see that docstring
+    if x.dtype == jnp.bfloat16:
+        from ..models.vit import gelu
+        return gelu(x)
     return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
 
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .vit import gelu
+
 
 class MLPBlock(nn.Module):
     mlp_dim: int
@@ -34,7 +36,7 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
+        x = gelu(x) if self.act == "gelu" else nn.relu(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
@@ -387,8 +389,8 @@ class PromptEncoder(nn.Module):
         """masks: (B, 4*h, 4*w, 1) low-res mask logits (channels-last; the
         reference mask_input_size is 4x the embedding grid) -> dense
         embedding (B, h, w, C) via the mask_downscaling stack (:51-59)."""
-        h = nn.gelu(self.mask_ln1(self.mask_conv1(masks)), approximate=False)
-        h = nn.gelu(self.mask_ln2(self.mask_conv2(h)), approximate=False)
+        h = gelu(self.mask_ln1(self.mask_conv1(masks)))
+        h = gelu(self.mask_ln2(self.mask_conv2(h)))
         return self.mask_conv3(h)
 
     def dense_pe(self):
@@ -1068,10 +1070,10 @@ class MaskDecoder(nn.Module):
                 s = ((x - u) ** 2).mean(axis=-1, keepdims=True)
                 x = ((x - u) / jnp.sqrt(s + 1e-6) * lw.astype(x.dtype)
                      + lb.astype(x.dtype))
-                x = nn.gelu(x, approximate=False)
+                x = gelu(x)
                 x = x.reshape(-1, C // 4) @ k2m.astype(x.dtype)
                 x = x.reshape(Bs, H, W, 2, 2, 2, 2, C // 8) + b2.astype(x.dtype)
-                x = nn.gelu(x, approximate=False)  # (b, i, j, p, q, r, s, c)
+                x = gelu(x)  # (b, i, j, p, q, r, s, c)
                 # pure contraction (clean batched GEMM), then one 4-channel
                 # transpose to the separable block-pixel order
                 if Bs == 1 and B > 1:
@@ -1085,10 +1087,10 @@ class MaskDecoder(nn.Module):
             x = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2),
                                  dtype=self.dtype, name="upscale_conv1")(x)
             x = LayerNorm2d(C // 4, dtype=self.dtype, name="upscale_ln")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)
             x = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2),
                                  dtype=self.dtype, name="upscale_conv2")(x)
-            x = nn.gelu(x, approximate=False)  # (Bs, 4H, 4W, C//8)
+            x = gelu(x)  # (Bs, 4H, 4W, C//8)
             if Bs == 1 and B > 1:
                 masks = jnp.einsum("bkc,hwc->bkhw", hyper, x[0])
             else:

@@ -19,6 +19,40 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# odd minimax polynomial g(x) ~= atanh(erf(x/sqrt(2))) fitted on [-8, 8] so
+# that 0.5*x*(1 + tanh(g(x))) matches exact GELU to <= 1.79e-5 absolutely —
+# 26x tighter than the standard tanh-GELU constants (4.7e-4). The input is
+# clamped to [-6.75, 6.75] (where g peaks), which extends the bound to all
+# of R: beyond the clamp tanh(g) is within 5e-9 of +-1, so the form returns
+# x (resp. 0) exactly as GELU's tails do.
+_GELU_P1 = 0.7976052307243347
+_GELU_P3 = 3.68622565e-2
+_GELU_P5 = -3.02642355e-4
+_GELU_P7 = -4.21100625e-6
+
+
+def gelu(x):
+    """Exact erf GELU in fp32; fp32 tanh-poly form in bf16.
+
+    The XLA erf lowering dominates ViT non-GEMM time on TPU: +58 ms per
+    128-crop DINOv2-L describe (probe dinoi2: erf 207.9 vs 151.2 ms for
+    this form — which costs the same as jax's standard tanh GELU while
+    approximating 26x tighter; PERFORMANCE.md round 5). The evaluation is
+    fp32 end-to-end, so the only bf16-path deviation from exact GELU is the
+    <= 1.79e-5 fit error — two orders of magnitude below the rounding the
+    bf16 cast itself injects
+    (test_bf16_budget.py::test_gelu_tanh_error_below_bf16_cast_noise).
+    The fp32 path — every reference-oracle parity test, the converters,
+    training — keeps the exact erf form (reference timm/DINOv2 nn.GELU,
+    vision_transformer.py)."""
+    if x.dtype == jnp.bfloat16:
+        t = jnp.clip(x.astype(jnp.float32), -6.75, 6.75)
+        t2 = t * t
+        g = t * (_GELU_P1 + t2 * (_GELU_P3 + t2 * (_GELU_P5 + t2 * _GELU_P7)))
+        return (0.5 * x.astype(jnp.float32) * (1.0 + jnp.tanh(g))).astype(x.dtype)
+    return nn.gelu(x, approximate=False)
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -27,7 +61,7 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -49,19 +83,26 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        # channel-slice q/k/v out of the fused projection instead of a
+        # (B, N, 3, H, hd) reshape + middle-axis slices: the 5-D reshape
+        # interleaves heads across the minor dim and XLA materializes the
+        # relayout — measured -7 ms per 128-crop describe (probe dinoi2:
+        # direct_qkv 144.1 vs 151.0 ms)
+        q = qkv[..., :self.dim].reshape(B, N, self.num_heads, head_dim)
+        k = qkv[..., self.dim:2 * self.dim].reshape(
+            B, N, self.num_heads, head_dim)
+        v = qkv[..., 2 * self.dim:].reshape(B, N, self.num_heads, head_dim)
         if self.use_flash:
             from ..kernels.flash_attention import (fused_attention,
                                                    fused_attention_small)
-            q3 = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, hd)
             # short trunks (DINOv2 257 / MAE 197 tokens): the small kernel
             # reads q/k/v verbatim — fused_attention's HBM-padded q_aug
             # copies (hd 64->128, N->384) cost more than it saves there
             fa = fused_attention_small if N <= 512 else fused_attention
-            out = fa(q3[0], q3[1], q3[2], scale=float(head_dim) ** -0.5)
+            out = fa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                     v.transpose(0, 2, 1, 3), scale=float(head_dim) ** -0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         else:
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(x.dtype)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

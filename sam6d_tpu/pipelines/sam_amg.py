@@ -458,6 +458,53 @@ class SAMSegmentor:
         return dict(masks=masks, boxes=boxes, valid=valid, iou_preds=iou,
                     orig_size=(H0, W0), seg_size=(hs, ws))
 
+    def truncation_divergence(self, image: np.ndarray, grid01=None) -> Dict:
+        """Degradation counter for the AMG truncations (VERDICT r4 item 4):
+        run this segmentor's configured (possibly truncated) proposal pass
+        AND the exact full-grid pass (amg_iou_prefix_factor=0,
+        amg_nms_topk=0, amg_prerank=0) on one image, and count kept-mask
+        differences. The truncation argument says the sets are identical
+        whenever the NMS-relevant candidates fit the selected prefix; this
+        measures how often that assumption breaks on a real frame.
+
+        Returns dict(n_kept_trunc, n_kept_full, n_differing, exact) where
+        n_differing counts kept (mask, box) pairs of the full run with no
+        bit-identical counterpart in the truncated run."""
+        from dataclasses import replace
+
+        dev_t = self.generate_masks_device(image, grid01)
+        # cache the exact twin: its jit wrappers survive across calls (the
+        # stress battery sweeps many weight seeds through one instance)
+        full = getattr(self, "_exact_twin", None)
+        if full is None:
+            exact_cfg = replace(self.cfg, amg_iou_prefix_factor=0.0,
+                                amg_nms_topk=0, amg_prerank=0)
+            full = SAMSegmentor(exact_cfg, variables=self.vars,
+                                dtype=self.dtype)
+            self._exact_twin = full
+        full.vars = self.vars
+        dev_f = full.generate_masks_device(image, grid01)
+
+        vt = np.asarray(dev_t["valid"])
+        vf = np.asarray(dev_f["valid"])
+        mt = np.asarray(dev_t["masks"])[vt]
+        mf = np.asarray(dev_f["masks"])[vf]
+        bt = np.asarray(dev_t["boxes"])[vt]
+        bf = np.asarray(dev_f["boxes"])[vf]
+        n_diff = 0
+        for i in range(len(mf)):
+            hit = False
+            for j in range(len(mt)):
+                if np.array_equal(bf[i], bt[j]) and np.array_equal(
+                        mf[i], mt[j]):
+                    hit = True
+                    break
+            if not hit:
+                n_diff += 1
+        return dict(n_kept_trunc=int(vt.sum()), n_kept_full=int(vf.sum()),
+                    n_differing=n_diff, exact=(n_diff == 0
+                                               and vt.sum() == vf.sum()))
+
     def generate_masks_cropped(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         """Crop-cascade AMG (reference automatic_mask_generator.py:196-264,
         off at the reference operating point crop_n_layers=0): the full

@@ -1852,6 +1852,147 @@ def exp_dinoi():
     run("dinoi.full", True, True, True)
 
 
+@exp("dinoi2")
+def exp_dinoi2():
+    """Close the dinoi gap: synthetic full block = 151.6 ms but the real
+    flax trunk = 204.2 — isolate the ~52 ms difference (exact-erf gelu,
+    Dense biases, patch embed, flax block machinery) and test candidate
+    fixes (direct per-head qkv projection layout, bf16 softmax)."""
+    from sam6d_tpu.core.config import DINOv2Config
+    from sam6d_tpu.core.params import cast_float_params
+    from sam6d_tpu.models.dinov2 import DinoBlock, _ScanDinoBlock
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    D, Hd, depth = c.embed_dim, c.num_heads, c.depth
+    B, N = 16, 257
+    hd = D // Hd
+    x0 = jnp.asarray(rng.rand(B, N, D).astype(np.float32)).astype(
+        jnp.bfloat16)
+    mk = lambda *sh: jnp.asarray(
+        rng.rand(*sh).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+    ws = dict(wqkv=mk(depth, D, 3 * D), bqkv=mk(depth, 3 * D),
+              wp=mk(depth, D, D), bp=mk(depth, D),
+              w1=mk(depth, D, 4 * D), bb1=mk(depth, 4 * D),
+              w2=mk(depth, 4 * D, D), bb2=mk(depth, D),
+              g1=mk(depth, D), b1=mk(depth, D), g2=mk(depth, D),
+              b2=mk(depth, D))
+
+    def ln(x, g, b):
+        m = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        v = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return (((x - m) * jax.lax.rsqrt(v + 1e-6)).astype(x.dtype) * g + b)
+
+    def block(x, w, gelu_exact, bias, qkv_layout, sm_bf16):
+        (wqkv, bqkv, wp, bp, w1, bb1, w2, bb2, g1, b1, g2, b2) = w
+        h = ln(x, g1, b1)
+        qkv = h @ wqkv
+        if bias:
+            qkv = qkv + bqkv
+        if qkv_layout == "direct":
+            # (B, N, 3D) -> (B, N, 3, H, hd) avoided: reshape straight to
+            # heads-last splits then transpose once each
+            q = qkv[..., :D].reshape(B, N, Hd, hd)
+            k = qkv[..., D:2 * D].reshape(B, N, Hd, hd)
+            v = qkv[..., 2 * D:].reshape(B, N, Hd, hd)
+        else:
+            qkv5 = qkv.reshape(B, N, 3, Hd, hd)
+            q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        if sm_bf16:
+            a = jax.nn.softmax(a, axis=-1)
+        else:
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        o = o @ wp
+        if bias:
+            o = o + bp
+        x = x + o
+        h = ln(x, g2, b2)
+        a1 = h @ w1 + (bb1 if bias else 0)
+        if gelu_exact == "poly7":
+            t = jnp.clip(a1.astype(jnp.float32), -6.75, 6.75)
+            t2 = t * t
+            g = t * (0.7976052307243347 + t2 * (3.68622565e-2 + t2 * (
+                -3.02642355e-4 + t2 * -4.21100625e-6)))
+            a1 = (0.5 * a1.astype(jnp.float32)
+                  * (1.0 + jnp.tanh(g))).astype(a1.dtype)
+        else:
+            a1 = jax.nn.gelu(a1, approximate=not gelu_exact)
+        o = a1 @ w2
+        if bias:
+            o = o + bb2
+        return x + o
+
+    order = ("wqkv", "bqkv", "wp", "bp", "w1", "bb1", "w2", "bb2",
+             "g1", "b1", "g2", "b2")
+    wtup = tuple(ws[k] for k in order)
+
+    def run(name, **kw):
+        @jax.jit
+        def prog(x, ws):
+            acc = jnp.float32(0)
+            for i in range(8):
+                y, _ = jax.lax.scan(
+                    lambda cc, w: (block(cc, w, **kw), None),
+                    x + i * 1e-6, ws)
+                acc += jnp.sum(y)
+            return acc
+        report(name, timed(lambda i: prog(x0 + i * 1e-6, wtup)), per=1)
+
+    base = dict(gelu_exact=False, bias=False, qkv_layout="3slice",
+                sm_bf16=True)
+    run("dinoi2.base", **base)
+    run("dinoi2.gelu_exact", **{**base, "gelu_exact": True})
+    run("dinoi2.bias", **{**base, "bias": True})
+    run("dinoi2.all_flaxlike", gelu_exact=True, bias=True,
+        qkv_layout="3slice", sm_bf16=True)
+    run("dinoi2.direct_qkv", **{**base, "qkv_layout": "direct"})
+    run("dinoi2.sm_fp32", **{**base, "sm_bf16": False})
+    run("dinoi2.gelu_poly7", **{**base, "gelu_exact": "poly7"})
+
+    # the real flax block stack on token input (no patch embed): flax
+    # machinery vs the synthetic
+    Scanned = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
+                      split_rngs={"params": True}, length=depth)
+    mod = Scanned(D, Hd, 4.0, dtype=jnp.bfloat16, name=None)
+    v = cast_float_params(init_like(
+        lambda: mod.init(jax.random.PRNGKey(0), x0, None)), jnp.bfloat16)
+
+    @jax.jit
+    def flaxprog(v, x):
+        acc = jnp.float32(0)
+        for i in range(8):
+            y, _ = mod.apply(v, x + i * 1e-6, None)
+            acc += jnp.sum(y)
+        return acc
+    report("dinoi2.flaxblocks", timed(lambda i: flaxprog(v, x0 + i * 1e-6)),
+           per=1)
+
+    # patch embed + pos + cls concat alone, x8
+    from sam6d_tpu.models.vit import PatchEmbed
+    pe = PatchEmbed(D, c.patch_size, dtype=jnp.bfloat16)
+    xi = jnp.asarray(rng.rand(16, 224, 224, 3).astype(np.float32)).astype(
+        jnp.bfloat16)
+    vpe = cast_float_params(init_like(
+        lambda: pe.init(jax.random.PRNGKey(0), xi)), jnp.bfloat16)
+    cls = mk(1, 1, D)
+    pos = mk(1, N, D)
+
+    @jax.jit
+    def peprog(vpe, xi):
+        acc = jnp.float32(0)
+        for i in range(8):
+            y = pe.apply(vpe, xi + i * 1e-6).reshape(16, 256, D)
+            y = jnp.concatenate(
+                [jnp.broadcast_to(cls, (16, 1, D)), y], axis=1) + pos
+            acc += jnp.sum(y)
+        return acc
+    report("dinoi2.patchembed", timed(lambda i: peprog(vpe, xi + i * 1e-6)),
+           per=1)
+
+
 @exp("dinochunk")
 def exp_dinochunk():
     """Describe chunk size under the unrolled (cond-gated) adaptive path —

@@ -273,6 +273,18 @@ def load_ism_loss():
     return ism_loss
 
 
+def load_ism_pose_utils():
+    """Import the real ISM `utils.poses.pose_utils` (NearestTemplateFinder,
+    opencv2opengl) — used to pin the PBR miner's nearest-template selection
+    semantics (provider/bop_pbr.py:155-190)."""
+    install_ruamel_shim()
+    if ISM not in sys.path:
+        sys.path.insert(0, ISM)
+    import utils.poses.pose_utils as pu  # noqa: F401
+
+    return pu
+
+
 def load_pem_modules():
     """Import the real PEM `transformer` and `model_utils` top-level modules
     (the reference runs with model/, utils/ and provider/ on sys.path)."""

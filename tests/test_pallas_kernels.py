@@ -135,6 +135,30 @@ def test_fused_attention_small_matches_softmax(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_fused_attention_small_bf16_consistent(rng):
+    """bf16 path: the kernel's softmax numerator and denominator use the
+    SAME cast probabilities, so it matches a from-spec oracle that casts p
+    to bf16 before both PV and the normalizer (ADVICE round 4)."""
+    import ml_dtypes
+    from sam6d_tpu.kernels.flash_attention import fused_attention_small
+    B, heads, N, hd = 2, 4, 57, 64
+    scale = hd ** -0.5
+    q = (rng.randn(B, heads, N, hd) * 0.5).astype(ml_dtypes.bfloat16)
+    k = (rng.randn(B, heads, N, hd) * 0.5).astype(ml_dtypes.bfloat16)
+    v = rng.randn(B, heads, N, hd).astype(ml_dtypes.bfloat16)
+    s = np.einsum("bhnc,bhmc->bhnm", q.astype(np.float32),
+                  k.astype(np.float32)) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    pc = p.astype(ml_dtypes.bfloat16).astype(np.float32)
+    l = pc.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmc->bhnc", pc, v.astype(np.float32)) / l
+    got = np.asarray(fused_attention_small(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        interpret=True)).astype(np.float32)
+    # the only remaining divergence is the bf16 output round-off
+    np.testing.assert_allclose(got, want, atol=8e-3)
+
+
 def test_vit_attention_flash_matches_einsum(rng):
     """Module-level: Attention(use_flash) == Attention(einsum path)."""
     import jax

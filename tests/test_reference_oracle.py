@@ -463,3 +463,45 @@ def test_ref_pointnet2_semantics_vs_ours(rng):
                                       jnp.array(want_bq.astype(np.int32))))
     np.testing.assert_allclose(
         got_grp, np.transpose(want_grp, (0, 2, 3, 1)), atol=1e-6)
+
+
+# ----------------------------------------------------- PBR template miner ---
+
+def test_ref_pbr_nearest_template_selection(rng):
+    """The PBR miner's per-viewpoint crop selection must match the real
+    reference NearestTemplateFinder.search_nearest_query (viewing-direction
+    nearest, in-plane ignored — pose_utils.py:266-296, used by
+    provider/bop_pbr.py:155-190). Template slot correspondence goes through
+    the set-parity permutation (our pose order differs from the .npy)."""
+    pu = ref_shims.load_ism_pose_utils()
+    from sam6d_tpu.data.bop_pbr import viewing_direction_distance
+    from sam6d_tpu.render.poses import (match_pose_order, template_cam_poses,
+                                        template_obj_poses)
+
+    finder = pu.NearestTemplateFinder(level_templates=0,
+                                      pose_distribution="all",
+                                      return_inplane=False)
+
+    # random query object poses (rotation + arbitrary translation)
+    M = 257
+    A = rng.randn(M, 3, 3)
+    U, _, Vt = np.linalg.svd(A)
+    Rq = U @ Vt
+    det = np.linalg.det(Rq)
+    Rq[:, :, 0] *= det[:, None]  # proper rotations
+    poses_q = np.tile(np.eye(4, dtype=np.float64), (M, 1, 1))
+    poses_q[:, :3, :3] = Rq
+    poses_q[:, :3, 3] = rng.randn(M, 3) * 100
+
+    want = finder.search_nearest_query(poses_q)  # (42,) ref-order slots
+
+    ours_T = template_obj_poses(0)[:, :3, :3]
+    got = viewing_direction_distance(
+        ours_T.astype(np.float64), Rq).argmin(axis=1)  # (42,) our order
+
+    cam_ref = np.load(
+        "/root/reference/SAM-6D/Instance_Segmentation_Model/utils/poses/"
+        "predefined_poses/cam_poses_level0.npy")
+    perm = match_pose_order(template_cam_poses(0), cam_ref)
+    # our template perm[j] corresponds to reference template j
+    np.testing.assert_array_equal(got[perm], want)
