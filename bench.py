@@ -346,19 +346,32 @@ def bench_e2e_measured(dtype, proposals: int = 128, pinned_valid: int = 48,
         times.append(time.perf_counter() - t0)
     e2e_s = sorted(times)[len(times) // 2]
     _log(f"e2e measured (sync): {e2e_s*1e3:.1f} ms")
+    tmg = getattr(stream, "last_timing", {})
+    if tmg:
+        _log("e2e host-tail breakdown: " + ", ".join(
+            f"{k}={v:.1f}" for k, v in tmg.items()))
 
-    # ---- streaming steady state (fresh stats)
-    stream.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
-    stream._frame_s = []
-    stream._last_done = None
-    feed = [(frame_data[i % len(frame_data)][0],
-             frame_data[i % len(frame_data)][1], Kmat, 1.0)
-            for i in range(frames + 4)]
-    for _ in stream.process_stream(feed, depth_in_flight=1):
-        pass
-    tp = stream.throughput()
-    _log(f"stream p50: {tp.get('p50_ms')} ms, p95: {tp.get('p95_ms')} ms")
-    return e2e_s, tp
+    # ---- streaming steady state (fresh stats); depth 2 overlaps frame
+    # t's transfers/host tail with frame t+1's device compute (depth 1
+    # leaves the pull of t blocking out t's whole device time)
+    best = None
+    for depth in (1, 2):
+        stream.stats = dict(frames=0, detections=0, poses=0, seconds=0.0)
+        stream._frame_s = []
+        stream._last_done = None
+        feed = [(frame_data[i % len(frame_data)][0],
+                 frame_data[i % len(frame_data)][1], Kmat, 1.0)
+                for i in range(frames + 4)]
+        for _ in stream.process_stream(feed, depth_in_flight=depth):
+            pass
+        tp = stream.throughput()
+        tp["depth_in_flight"] = depth
+        _log(f"stream depth={depth}: p50 {tp.get('p50_ms')} ms, "
+             f"p95 {tp.get('p95_ms')} ms")
+        if best is None or (tp.get("p50_ms") or 1e9) < (best.get("p50_ms")
+                                                        or 1e9):
+            best = tp
+    return e2e_s, best
 
 
 def main():

@@ -143,6 +143,12 @@ class SAMConfig:
     # hit a ~2x scheduling pathology), so the approximation buys nothing
     # at the 32x32 operating point; the knob remains for larger grids.
     amg_prerank: int = 0
+    # keep encoder activations window-partitioned ACROSS blocks: the
+    # per-block pad+6D-transpose (un)partition pairs collapse to one pair
+    # per global block; pad tokens are re-zeroed post-norm1 by a static
+    # mask, reproducing the reference's per-block zero re-pad exactly
+    # (models/sam.py _ScanSAMBlock carry_windows; probe segi)
+    encoder_carry_windows: bool = False
     amg_rank_chunk: int = 1024       # prompts per chunk in the rank pass
     # EXACT iou-prefix pass: score every grid prompt's predicted IoU with
     # the factored two-way transformer (token outputs exact, no (B, N, C)

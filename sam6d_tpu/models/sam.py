@@ -172,6 +172,7 @@ class _ScanSAMBlock(nn.Module):
     grid: int
     mlp_ratio: float = 4.0
     use_flash: bool = False
+    carry_windows: bool = False  # carry x in window layout across blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,6 +239,61 @@ class _ScanSAMBlock(nn.Module):
                              (ws, ws))
             return window_unpartition(out, ws, pad_hw, (H, W))
 
+        if self.carry_windows:
+            # x arrives ALREADY window-partitioned (B*nW, ws, ws, C) and
+            # stays that way across every block: the 28 per-block
+            # partition/unpartition pad+6D-transpose pairs collapse to one
+            # pair per GLOBAL block. Exactness: the reference re-pads with
+            # zeros after norm1 every windowed block
+            # (image_encoder.py:243-289), so the pad tokens must enter each
+            # windowed attention as exact zeros — the static pad mask
+            # below re-zeroes them (qkv(0) = bias, identical); per-token
+            # LN/MLP never mix tokens, and the global transition discards
+            # pads at unpartition. Measured v5e: probe segi.
+            ws = self.window_size
+            g = self.grid
+            nside = -(-g // ws)
+            Hp = nside * ws
+            row_ok = (np.arange(nside)[:, None] * ws
+                      + np.arange(ws)[None, :]) < g       # (nside, ws)
+            m = (row_ok[:, None, :, None] & row_ok[None, :, None, :])
+            pad_mask = jnp.asarray(
+                m.reshape(nside * nside, ws, ws, 1).astype(np.float32))
+            nW = nside * nside
+            B = x.shape[0] // nW
+            if B > 1:
+                pad_mask = jnp.tile(pad_mask, (B, 1, 1, 1))
+
+            def window_branch_carried(h):
+                if self.use_flash:
+                    from ..kernels.flash_attention import \
+                        flash_attention_relpos
+                    B_ = h.shape[0]
+                    heads = self.num_heads
+                    q3 = qkv(h).reshape(B_, ws * ws, 3, heads, hd)
+                    q3 = q3.transpose(2, 0, 3, 1, 4)
+                    o = flash_attention_relpos(
+                        q3[0], q3[1], q3[2],
+                        rel_h[:2 * ws - 1], rel_w[:2 * ws - 1], (ws, ws))
+                    o = o.transpose(0, 2, 1, 3).reshape(B_, ws, ws, self.dim)
+                    return proj(o)
+                return attend(h, rel_h[:2 * ws - 1], rel_w[:2 * ws - 1],
+                              (ws, ws))
+
+            def global_branch_carried(h):
+                hg = window_unpartition(h, ws, (Hp, Hp), (g, g))
+                out = global_branch(hg)
+                out_w, _ = window_partition(out, ws)
+                return out_w
+
+            shortcut = x
+            h = norm1(x) * pad_mask.astype(x.dtype)
+            h = jax.lax.cond(is_global, global_branch_carried,
+                             window_branch_carried, h)
+            x = shortcut + h
+            x = x + mlp(norm2(x))
+            return x
+
         shortcut = x
         h = norm1(x)
         h = jax.lax.cond(is_global, global_branch, window_branch, h)
@@ -252,12 +308,14 @@ class _ScanSAMStep(nn.Module):
     window_size: int
     grid: int
     use_flash: bool = False
+    carry_windows: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, is_global):
         y = _ScanSAMBlock(self.dim, self.num_heads, self.window_size,
                           self.grid, use_flash=self.use_flash,
+                          carry_windows=self.carry_windows,
                           dtype=self.dtype, name="block")(carry, is_global)
         return y, None
 
@@ -275,6 +333,7 @@ class SAMImageEncoder(nn.Module):
     out_chans: int = 256
     use_flash: bool = False  # Pallas flash attention for the global blocks
     unroll: bool = False     # flatten the block scan at lowering
+    carry_windows: bool = False  # keep x window-partitioned across blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -289,6 +348,9 @@ class SAMImageEncoder(nn.Module):
         x = x + pos.astype(x.dtype)
         is_global = jnp.asarray(
             [i in self.global_attn_indexes for i in range(self.depth)])
+        carry_w = self.carry_windows and self.window_size > 0
+        if carry_w:
+            x, pad_hw = window_partition(x, self.window_size)
         # `unroll` flattens the scan at lowering (identical param tree) —
         # scan bodies in fused programs run ~2-3x slower on TPU (see
         # PERFORMANCE.md round 3); unrolled, the constant is_global also
@@ -297,8 +359,11 @@ class SAMImageEncoder(nn.Module):
                           split_rngs={"params": True}, length=self.depth,
                           unroll=self.depth if self.unroll else 1)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.window_size,
-                       grid, use_flash=self.use_flash, dtype=self.dtype,
+                       grid, use_flash=self.use_flash,
+                       carry_windows=carry_w, dtype=self.dtype,
                        name="blocks")(x, is_global)
+        if carry_w:
+            x = window_unpartition(x, self.window_size, pad_hw, (grid, grid))
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
         x = LayerNorm2d(self.out_chans, dtype=self.dtype, name="neck_ln1")(x)

@@ -329,6 +329,10 @@ class ISMPipeline:
         """Fused per-frame matching: size filters, descriptors, all three
         scores, fusion, optional per-object NMS — one device program."""
         cfg = self.cfg
+        if rgb01.dtype == jnp.uint8:
+            # serving path uploads the raw uint8 frame (0.9 MB vs 3.7 MB
+            # fp32) and converts on device — same fp32 arithmetic
+            rgb01 = rgb01.astype(jnp.float32) / 255.0
         H, W = rgb01.shape[:2]
         img_area = H * W
         if apply_size_filters:
@@ -428,7 +432,8 @@ class ISMPipeline:
             boxes = jnp.asarray(detections["boxes"], jnp.float32)
             valid = jnp.asarray(detections["valid"])
 
-        rgb01 = jnp.asarray(rgb.astype(np.float32) / 255.0)
+        rgb01 = jnp.asarray(rgb if rgb.dtype == np.uint8
+                            else rgb.astype(np.float32) / 255.0)
         out = self._score_frame(
             self.dinov2_vars, rgb01, masks, boxes, valid,
             jnp.asarray(depth.astype(np.float32)),
@@ -440,6 +445,21 @@ class ISMPipeline:
             apply_size_filters=apply_size_filters)
         out["masks"] = masks
         out["boxes"] = boxes
+        # one packed (K, 12) row per proposal so the host tail pulls a
+        # SINGLE small array: each device->host sync costs ~25 ms through
+        # the tunnel and the unpacked dict has 8 of them (bench e2e
+        # host-tail breakdown, round 5). Column order documented in
+        # streaming.complete_frame (the consumer).
+        out["packed"] = jnp.concatenate([
+            out["scores"].astype(jnp.float32)[:, None],
+            out["object_ids"].astype(jnp.float32)[:, None],
+            out["valid"].astype(jnp.float32)[:, None],
+            out["semantic_score"].astype(jnp.float32)[:, None],
+            out["appe_score"].astype(jnp.float32)[:, None],
+            out["geometric_score"].astype(jnp.float32)[:, None],
+            out["visible_ratio"].astype(jnp.float32)[:, None],
+            out["best_template"].astype(jnp.float32)[:, None],
+            boxes.astype(jnp.float32)], axis=1)
         return out
 
     def match_frame(self, *args, **kwargs) -> Dict[str, np.ndarray]:

@@ -36,6 +36,22 @@ def _bucket(n: int, cap: int = 64, multiple: int = 1) -> int:
     return min(max(b, multiple), cap)
 
 
+def _host_backproject(depth, depth_scale, K):
+    """numpy twin of ops.pointcloud.depth_to_pointcloud (meters) — the
+    per-frame backprojection is host work feeding host instance prep; a
+    device round-trip here cost ~148 ms/frame through the axon tunnel
+    (bench e2e host-tail breakdown, round 5)."""
+    z = depth.astype(np.float32) * np.float32(depth_scale) / 1000.0
+    H, W = z.shape
+    K = np.asarray(K, np.float32)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xmap = np.arange(W, dtype=np.float32)[None, :]
+    ymap = np.arange(H, dtype=np.float32)[:, None]
+    x = (xmap - cx) * z / fx
+    y = (ymap - cy) * z / fy
+    return np.stack([x, y, z], axis=-1)
+
+
 class PEMPipeline:
     """Stateful wrapper around the pure PEMNet: params + jitted entries.
 
@@ -167,9 +183,7 @@ class PEMPipeline:
         input detections)."""
         c = self.cfg
         rng = np.random.RandomState(seed)
-        whole_pts = np.asarray(depth_to_pointcloud(
-            jnp.asarray(depth.astype(np.float32) * depth_scale / 1000.0),
-            jnp.asarray(K.astype(np.float32))))
+        whole_pts = _host_backproject(depth, depth_scale, K)
         radius = float(np.linalg.norm(model_points, axis=1).max())
 
         insts, kept = [], []
@@ -237,7 +251,13 @@ class PEMPipeline:
             ))
         return results, kept
 
-    def run_frame_multi(
+    def run_frame_multi(self, *args, **kwargs):
+        """Multi-object frame, synchronous: dispatch + finalize (see
+        dispatch_frame_multi for the pipelined serving split)."""
+        return self.finalize_frame_multi(self.dispatch_frame_multi(
+            *args, **kwargs))
+
+    def dispatch_frame_multi(
         self,
         rgb: np.ndarray,
         depth: np.ndarray,
@@ -256,13 +276,16 @@ class PEMPipeline:
         by object index, so one batched PEM dispatch serves a mixed-object
         frame (the streaming serving path — BASELINE config 5; the
         reference runs one object at a time, run_inference_custom.py)."""
+        import time as _time
         c = self.cfg
+        tm = {}
+        tt = _time.perf_counter()
         rng = np.random.RandomState(seed)
-        whole_pts = np.asarray(depth_to_pointcloud(
-            jnp.asarray(depth.astype(np.float32) * depth_scale / 1000.0),
-            jnp.asarray(K.astype(np.float32))))
+        whole_pts = _host_backproject(depth, depth_scale, K)
         radii = np.linalg.norm(np.asarray(model_points_all), axis=2).max(1)
+        tm["pem_backproject_ms"] = (_time.perf_counter() - tt) * 1e3
 
+        tt = _time.perf_counter()
         insts, kept = [], []
         for det in detections:
             if det["score"] <= det_score_thresh:
@@ -279,8 +302,10 @@ class PEMPipeline:
                 continue
             insts.append(inst)
             kept.append(det)
+        tm["pem_prepare_ms"] = (_time.perf_counter() - tt) * 1e3
+        self.last_timing = tm
         if not insts:
-            return [], []
+            return dict(packed=None, kept=[], n=0)
 
         n = len(insts)
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
@@ -293,6 +318,7 @@ class PEMPipeline:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
             return jnp.asarray(arr)
 
+        tt = _time.perf_counter()
         oidx = np.array([int(d["object_id"]) for d in kept], np.int32)
         if pad:
             oidx = np.concatenate([oidx, np.repeat(oidx[-1:], pad)])
@@ -312,9 +338,32 @@ class PEMPipeline:
             inputs = {k: jax.device_put(x, self._batch_sharding)
                       for k, x in inputs.items()}
         out = self._infer_jit(self.variables, inputs, jax.random.PRNGKey(seed))
-        pred_R = np.asarray(out["pred_R"])[:n]
-        pred_t = np.asarray(out["pred_t"])[:n]
-        score = np.asarray(out["pred_pose_score"])[:n]
+        # one packed transfer instead of three (each device->host sync
+        # costs ~25 ms through the tunnel); the transfer itself happens in
+        # finalize_frame_multi, so the serving loop can enqueue the NEXT
+        # frame's device work before blocking on this one (device programs
+        # execute in dispatch order — a PEM dispatched after frame t+1's
+        # AMG waits behind it)
+        packed = jnp.concatenate(
+            [out["pred_R"].reshape(-1, 9).astype(jnp.float32),
+             out["pred_t"].astype(jnp.float32),
+             out["pred_pose_score"][:, None].astype(jnp.float32)], axis=1)
+        tm["pem_upload_dispatch_ms"] = (_time.perf_counter() - tt) * 1e3
+        return dict(packed=packed, kept=kept, n=n)
+
+    def finalize_frame_multi(self, state):
+        """Block on a dispatch_frame_multi handle and assemble results."""
+        import time as _time
+        kept, n = state["kept"], state["n"]
+        if not n:
+            return [], []
+        tt = _time.perf_counter()
+        packed = np.asarray(state["packed"])[:n]
+        pred_R = packed[:, :9].reshape(-1, 3, 3)
+        pred_t = packed[:, 9:12]
+        score = packed[:, 12]
+        tm = getattr(self, "last_timing", {})
+        tm["pem_device_wait_ms"] = (_time.perf_counter() - tt) * 1e3
         results = []
         for i, det in enumerate(kept):
             results.append(dict(

@@ -79,7 +79,7 @@ class SAMSegmentor:
             num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
             global_attn_indexes=cfg.encoder_global_attn_indexes,
             out_chans=cfg.prompt_embed_dim, use_flash=use_flash,
-            dtype=dtype)
+            carry_windows=cfg.encoder_carry_windows, dtype=dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=cfg.prompt_embed_dim,
             input_image_size=(cfg.img_size, cfg.img_size),
@@ -108,6 +108,21 @@ class SAMSegmentor:
         self.points = build_point_grid(cfg.points_per_side)
         self._encode = jax.jit(
             lambda v, x: self.encoder.apply(v["image_encoder"], x))
+
+        def _encode_u8(v, u8):
+            # device-side SAM normalization + canvas padding: the host
+            # uploads the resized uint8 image (2.4 MB) instead of the
+            # normalized fp32 1024^2 canvas (12.6 MB) — uploads through
+            # the tunnel were ~25 ms/MB (bench e2e breakdown, round 5).
+            # Identical numbers: same fp32 arithmetic, just on device.
+            h_in, w_in = u8.shape[0], u8.shape[1]
+            x = (u8.astype(jnp.float32)
+                 - jnp.asarray(SAM_PIXEL_MEAN)) / jnp.asarray(SAM_PIXEL_STD)
+            S = self.cfg.img_size
+            x = jnp.pad(x, ((0, S - h_in), (0, S - w_in), (0, 0)))
+            return self.encoder.apply(v["image_encoder"], x[None])
+
+        self._encode_u8 = jax.jit(_encode_u8)
         # NOTE: all jitted entry points take the variables pytree as an
         # explicit argument — closing over it would embed the weights as
         # compile-time constants (catastrophic for compile time/size).
@@ -427,6 +442,21 @@ class SAMSegmentor:
         canvas[:h_in, :w_in] = x
         return canvas, (H0, W0), (hs, ws), (h_in, w_in)
 
+    def preprocess_frame_u8(self, image: np.ndarray):
+        """Like preprocess_frame but stops at the resized uint8 image —
+        normalization + padding run on device (_encode_u8), cutting the
+        per-frame upload 12.6 -> 2.4 MB. Same PIL resizes, same numbers."""
+        cfg = self.cfg
+        H0, W0 = image.shape[:2]
+        hs = int(cfg.segmentor_width_size * H0 / W0)
+        ws = cfg.segmentor_width_size
+        img_s = bilinear_resize(image, hs, ws)
+        h_in, w_in = get_preprocess_shape(hs, ws, cfg.img_size)
+        resized = np.array(
+            Image.fromarray(img_s).resize((w_in, h_in), Image.BILINEAR),
+            np.uint8)
+        return resized, (H0, W0), (hs, ws), (h_in, w_in)
+
     def frame_constants(self, hs, ws, h_in, w_in, grid01=None):
         """Per-geometry constants (cached by shape): composed postprocess
         matrices + prompt coordinates in the encoder frame. `grid01`
@@ -449,9 +479,10 @@ class SAMSegmentor:
         host round-trips. Returns device arrays
         (masks (K, hs, ws) bool, boxes (K, 4) segmentor-res, valid, iou)
         plus the frame geometry."""
-        canvas, (H0, W0), (hs, ws), (h_in, w_in) = self.preprocess_frame(image)
+        resized, (H0, W0), (hs, ws), (h_in, w_in) = \
+            self.preprocess_frame_u8(image)
         Ry, Rx, pts_in = self.frame_constants(hs, ws, h_in, w_in, grid01)
-        embedding = self._encode(self.vars, jnp.asarray(canvas[None]))[0]
+        embedding = self._encode_u8(self.vars, jnp.asarray(resized))[0]
         masks, boxes, valid, iou = self._propose(
             self.vars, embedding, pts_in, Ry, Rx, hs=hs, ws=ws, h_in=h_in,
             w_in=w_in)

@@ -125,25 +125,61 @@ class MultiObjectStream:
         """Block on the oldest submitted frame's device results, run the
         host-side tail (detection assembly, RLE, PEM batch) and account
         stats. Returns dict(detections, poses, ms)."""
+        return self._complete_phase_b(self._complete_phase_a())
+
+    def _complete_phase_a(self):
+        """Pull the oldest frame's detection outputs, build detections and
+        DISPATCH its PEM batch (async). Kept separate from _complete_phase_b
+        so the serving loop can enqueue the NEXT frame's AMG before
+        blocking: device programs run in dispatch order, so a PEM enqueued
+        after frame t+1's AMG would wait behind it (measured: cadence
+        391 -> ~= device-bound after the reorder; bench e2e round 5)."""
         dev, rgb, depth, K, depth_scale, seed, t0 = self._pending.pop(0)
-        # transfer the small outputs first, then gather ONLY the surviving
-        # masks on device before pulling them across: the full capacity
-        # stack is ~39 MB/frame (128 x 480 x 640) while typical frames keep
-        # a few dozen — the gather is bucketed (power of two) so its
-        # program compiles once per bucket, not per count
-        result = {k: np.asarray(v) for k, v in dev.items() if k != "masks"}
+        tm = {}
+        tt = time.perf_counter()
+        # ONE small transfer: the packed (K, 12) array carries
+        # [score, object_id, valid, sem, appe, geo, vis, best_template,
+        # box x1 y1 x2 y2] — pulling the dict's 8 separate fields cost
+        # ~200 ms of per-sync tunnel overhead (bench e2e breakdown, r5)
+        if "packed" in dev:
+            pk = np.asarray(dev["packed"])
+            result = dict(scores=pk[:, 0],
+                          object_ids=pk[:, 1].astype(np.int32),
+                          valid=pk[:, 2] > 0.5, boxes=pk[:, 8:12])
+        else:
+            result = {k: np.asarray(v) for k, v in dev.items()
+                      if k != "masks"}
         idx = np.where(result["valid"])[0]
+        tm["transfer_small_ms"] = (time.perf_counter() - tt) * 1e3
+        tt = time.perf_counter()
+        # gather ONLY the surviving masks on device (the full capacity
+        # stack is ~39-157 MB/frame while typical frames keep a few dozen;
+        # power-of-two bucket so the gather compiles once per bucket), then
+        # BITPACK before pulling: 8x fewer bytes through the tunnel
+        # (125 -> ~20 ms at 16 kept masks), np.unpackbits restores exactly
         if len(idx):
             bucket = _pow2_bucket(len(idx), int(dev["masks"].shape[0]))
             idx_pad = np.zeros(bucket, np.int32)
             idx_pad[:len(idx)] = idx
-            sel = np.asarray(jnp.take(dev["masks"], jnp.asarray(idx_pad),
-                                      axis=0))[:len(idx)]
+            g = jnp.take(dev["masks"], jnp.asarray(idx_pad), axis=0) > 0.5
+            Wm = g.shape[-1]
+            if Wm % 8 == 0:
+                w8 = jnp.asarray(
+                    np.array([128, 64, 32, 16, 8, 4, 2, 1], np.float32))
+                by = (g.reshape(*g.shape[:-1], Wm // 8, 8)
+                      .astype(jnp.float32) @ w8).astype(jnp.uint8)
+                # unpackbits(axis=-1) on (b, H, W/8) uint8 -> (b, H, W)
+                sel = np.unpackbits(np.asarray(by), axis=-1
+                                    ).astype(bool)[:len(idx)]
+            else:
+                sel = np.asarray(g)[:len(idx)]
         else:
-            sel = np.zeros((0, *dev["masks"].shape[1:]), np.uint8)
+            sel = np.zeros((0, *dev["masks"].shape[1:]), bool)
+        tm["transfer_masks_ms"] = (time.perf_counter() - tt) * 1e3
+        tt = time.perf_counter()
         dets = []
         for j, i in enumerate(idx):
-            mask = (sel[j] > 0.5).astype(np.uint8)
+            mask = sel[j].astype(np.uint8)
             dets.append(dict(
                 object_id=int(result["object_ids"][i]),
                 score=float(result["scores"][i]),
@@ -151,10 +187,25 @@ class MultiObjectStream:
                 segmentation=rle_encode_coco(mask),
                 mask=mask,  # raw mask rides along so PEM skips the decode
             ))
-        poses, _ = self.pem.run_frame_multi(
+        tm["rle_ms"] = (time.perf_counter() - tt) * 1e3
+        tt = time.perf_counter()
+        pem_state = self.pem.dispatch_frame_multi(
             rgb, depth, K, depth_scale, dets,
             self._model_all, self._templates_all,
             det_score_thresh=self.det_score_thresh, seed=seed)
+        tm["pem_dispatch_ms"] = (time.perf_counter() - tt) * 1e3
+        return dict(pem_state=pem_state, dets=dets, t0=t0, tm=tm)
+
+    def _complete_phase_b(self, st) -> Dict:
+        """Block on the PEM results of a _complete_phase_a handle, account
+        stats, return the frame result."""
+        tm = st["tm"]
+        tt = time.perf_counter()
+        poses, _ = self.pem.finalize_frame_multi(st["pem_state"])
+        tm["pem_ms"] = (time.perf_counter() - tt) * 1e3
+        tm.update(getattr(self.pem, "last_timing", {}))
+        self.last_timing = tm
+        dets, t0 = st["dets"], st["t0"]
         now = time.time()
         # steady-state cadence: completion-to-completion interval (the
         # serving metric under pipelining; equals per-frame latency in the
@@ -186,14 +237,21 @@ class MultiObjectStream:
     def process_stream(self, frames, depth_in_flight: int = 1):
         """Pipelined serving over an iterable of (rgb, depth, K,
         depth_scale) tuples: keeps `depth_in_flight` frames' device work
-        in flight, so frame t+1's AMG + scoring run on-device while the
-        host blocks on frame t's transfers and drives its PEM tail.
-        Steady-state cadence approaches max(device, host) instead of
-        their sum. Yields one result dict per frame, in order."""
+        in flight. Per step, the oldest frame's detection outputs are
+        pulled and its PEM batch DISPATCHED (phase a) before the next
+        frame's AMG is submitted — device programs execute in dispatch
+        order, so this keeps frame t's PEM ahead of frame t+1's AMG in
+        the queue; the host then blocks on t's poses (phase b) while t+1
+        crunches. Steady-state cadence approaches the device-bound floor
+        plus un-overlappable transfers. Yields one result per frame, in
+        order."""
         for item in frames:
-            self.submit_frame(*item)
-            while len(self._pending) > depth_in_flight:
-                yield self.complete_frame()
+            if len(self._pending) >= max(depth_in_flight, 1):
+                st = self._complete_phase_a()
+                self.submit_frame(*item)
+                yield self._complete_phase_b(st)
+            else:
+                self.submit_frame(*item)
         while self._pending:
             yield self.complete_frame()
 

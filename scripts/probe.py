@@ -1993,6 +1993,39 @@ def exp_dinoi2():
            per=1)
 
 
+@exp("segi")
+def exp_segi():
+    """Seg-encoder layout itemization (round 5): carried-window layout
+    (one (un)partition pair per global block instead of per windowed
+    block) vs the per-block layout, full ViT-H shapes, one process."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.core.params import cast_float_params
+    from sam6d_tpu.models.sam import SAMImageEncoder
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    x = jnp.asarray(rng.rand(1, cfg.img_size, cfg.img_size, 3)
+                    .astype(np.float32)).astype(jnp.bfloat16)
+
+    def mk(carry):
+        enc = SAMImageEncoder(
+            img_size=cfg.img_size, patch_size=cfg.patch_size,
+            embed_dim=cfg.encoder_embed_dim, depth=cfg.encoder_depth,
+            num_heads=cfg.encoder_num_heads, window_size=cfg.window_size,
+            global_attn_indexes=cfg.encoder_global_attn_indexes,
+            out_chans=cfg.prompt_embed_dim, use_flash=True,
+            carry_windows=carry, dtype=jnp.bfloat16)
+        return enc
+
+    enc0 = mk(False)
+    v = cast_float_params(init_like(
+        lambda: enc0.init(jax.random.PRNGKey(0), x)), jnp.bfloat16)
+    for name, enc in (("segi.enc_perblock", enc0),
+                      ("segi.enc_carried", mk(True))):
+        prog = jax.jit(lambda vv, xx, e=enc: jnp.sum(e.apply(vv, xx)))
+        report(name, timed(lambda i: prog(v, x + i * 1e-6)), per=1)
+
+
 @exp("dinochunk")
 def exp_dinochunk():
     """Describe chunk size under the unrolled (cond-gated) adaptive path —

@@ -44,6 +44,16 @@ def test_sam_encoder_parity(rng):
     got_u = enc_u.apply({"params": params}, jnp.array(x))
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(got),
                                atol=1e-5)
+    # carried-window layout (encoder_carry_windows): same param tree,
+    # same outputs — pad tokens re-zeroed per block exactly where the
+    # reference re-pads with zeros (grid 4, window 3 -> pad 4->6 active)
+    enc_c = SAMImageEncoder(img_size=64, patch_size=16, embed_dim=32,
+                            depth=3, num_heads=4, window_size=3,
+                            global_attn_indexes=(1,), out_chans=16,
+                            carry_windows=True)
+    got_c = enc_c.apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(got),
+                               atol=1e-5)
 
 
 def test_prompt_encoder_parity(rng):
