@@ -164,6 +164,12 @@ class SAMConfig:
     # margin absorbs that. 0 = off (full-grid exact decode). Measured
     # v5e at capacity 128: seg 221.7 -> 140.8 ms (factor 1.0 = 128
     # points) / 162.7 (factor 2.0 = 256 points), probe seg.fused_prefix*.
+    # The margin assumption is stress-tested: zero kept-mask divergence vs
+    # the full decode across an adversarial battery (NMS-cascade, active
+    # stability filter, constant texture-free images) at this exact 3x
+    # margin ratio — tests/test_amg_truncation_stress.py + the
+    # SAMSegmentor.truncation_divergence counter (round 5); on frames
+    # where the assumption DID break, that counter measures it.
     amg_iou_prefix_factor: float = 1.0
     # NMS truncation: greedy NMS processes candidates in score order and a
     # candidate's keep decision depends only on HIGHER-scored candidates,

@@ -103,6 +103,11 @@ class Attention(nn.Module):
                      v.transpose(0, 2, 1, 3), scale=float(head_dim) ** -0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         else:
+            # a [cls | 256-patch] key split (lane-clean scores vs the
+            # 257->384 pad) measured a LOSS: 153.7 vs 143.0 ms/describe,
+            # and even the padding-free N=256 bound is only 133.3 — this
+            # chain sits ~10 ms above its layout-perfect bound (probe
+            # dinoj, round 5), so no split variant is carried
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(x.dtype)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

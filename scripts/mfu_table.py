@@ -38,10 +38,12 @@ def sam_encoder_flops():
     n_win = c.encoder_depth - n_global
     ws = c.window_size
     nW = (-(-g // ws)) ** 2                 # 25 windows (padded 64->70)
+    # qkv/proj/mlp counted on the REAL 4096 tokens (the 64->70 window pad
+    # is implementation waste and must count against MFU, not inflate the
+    # model FLOPs); window attention counted on the padded 196-token
+    # windows (zero-pad attention IS the ViTDet semantics)
+    blk = (gemm(N, C, 3 * C) + gemm(N, C, C) + 2 * gemm(N, C, 4 * C))
     for depth, tokens, batches in ((n_global, N, 1), (n_win, ws * ws, nW)):
-        blk = (gemm(tokens * batches, C, 3 * C)     # qkv
-               + gemm(tokens * batches, C, C)        # proj
-               + 2 * gemm(tokens * batches, C, 4 * C))  # mlp
         attn = 2 * c.encoder_num_heads * batches * gemm(tokens, hd, tokens)
         f += depth * (blk + attn)
     f += gemm(N, C, c.prompt_embed_dim)     # neck conv1 1x1
@@ -91,15 +93,26 @@ def dino_describe_flops(n_crops):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seg", type=float, required=True, help="seg_ms")
+    ap.add_argument("--enc", type=float, default=None,
+                    help="encoder-only ms (probe segi.enc_perblock)")
     ap.add_argument("--match", type=float, required=True, help="match_ms cap128")
     ap.add_argument("--match48", type=float, required=True)
     ap.add_argument("--pem", type=float, required=True, help="pem B=16 ms")
     a = ap.parse_args()
 
     enc = sam_encoder_flops()
-    dec = amg_decode_flops()
-    rows = [
-        ("seg (encoder + AMG tail)", a.seg, enc + dec, 27.8 + 126.2),
+    rows = []
+    if a.enc:
+        rows.append(("SAM encoder (ViT-H 1024^2)", a.enc, enc, 27.8))
+        # the AMG tail after the iou-prefix pass is bandwidth-bound
+        # (decode transients, round-2/4 cost analyses) — an MFU number
+        # there would mislead; report measured ms only
+        rows.append(("AMG tail (iou pass + prefix decode + select)",
+                     a.seg - a.enc, None, None))
+    else:
+        rows.append(("seg (encoder + AMG tail; tail bandwidth-bound)",
+                     a.seg, None, None))
+    rows += [
         ("match describe cap-128", a.match, dino_describe_flops(128), 110.1),
         ("match describe 48-valid", a.match48, dino_describe_flops(48),
          110.1 * 48 / 128),

@@ -1993,6 +1993,97 @@ def exp_dinoi2():
            per=1)
 
 
+@exp("dinoj")
+def exp_dinoj():
+    """Attention layout at DINOv2 trunk shapes: N=257 pads the score
+    tensor's minor dim to 384 lanes (50% waste on every score op). Split
+    the KEYS into 256 patch keys (clean lanes) + the 1 cls key (thin
+    column) with an exact concat-softmax; also measure the N=256 upper
+    bound (drop cls - inexact, bound only)."""
+    from sam6d_tpu.core.config import DINOv2Config
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    D, Hd, depth = c.embed_dim, c.num_heads, c.depth
+    B, N = 16, 257
+    hd = D // Hd
+    mk = lambda *sh: jnp.asarray(
+        rng.rand(*sh).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+    x0 = jnp.asarray(rng.rand(B, N, D).astype(np.float32)).astype(
+        jnp.bfloat16)
+    ws = tuple(mk(depth, D, 3 * D) if i == 0 else
+               (mk(depth, D, D) if i == 1 else
+                (mk(depth, D, 4 * D) if i == 2 else
+                 (mk(depth, 4 * D, D) if i == 3 else mk(depth, D))))
+               for i in range(8))  # wqkv, wp, w1, w2, g1, b1, g2, b2
+
+    def ln(x, g, b):
+        m = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        v = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return (((x - m) * jax.lax.rsqrt(v + 1e-6)).astype(x.dtype) * g + b)
+
+    def attn_plain(q, k, v, n):
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        a = jax.nn.softmax(a, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, n, D)
+
+    def attn_split(q, k, v, n):
+        # keys split: [cls | 256 patch] -> clean 256-lane score minor
+        kp, kc = k[:, 1:], k[:, :1]
+        vp, vc = v[:, 1:], v[:, :1]
+        sc = jnp.sqrt(hd).astype(q.dtype)
+        sp = jnp.einsum("bnhd,bmhd->bhnm", q, kp) / sc     # (B,H,N,256)
+        s1 = jnp.einsum("bnhd,bmhd->bhnm", q, kc) / sc     # (B,H,N,1)
+        m = jnp.maximum(jnp.max(sp, axis=-1, keepdims=True), s1)
+        pp = jnp.exp(sp - m)
+        p1 = jnp.exp(s1 - m)
+        l = jnp.sum(pp, axis=-1, keepdims=True) + p1
+        # p1 (B,H,N,1) -> (B,N,H,1); vc (B,1,Hd,hd) broadcasts over N
+        o = (jnp.einsum("bhnm,bmhd->bnhd", pp, vp)
+             + p1.transpose(0, 2, 1, 3) * vc) / l.transpose(0, 2, 1, 3)
+        return o.reshape(B, n, D)
+
+    def block(x, w, mode, n):
+        wqkv, wp, w1, w2, g1, b1, g2, b2 = w
+        h = ln(x, g1, b1)
+        qkv = h @ wqkv
+        q = qkv[..., :D].reshape(B, n, Hd, hd)
+        k = qkv[..., D:2 * D].reshape(B, n, Hd, hd)
+        v = qkv[..., 2 * D:].reshape(B, n, Hd, hd)
+        o = (attn_split if mode == "split" else attn_plain)(q, k, v, n)
+        x = x + o @ wp
+        h = ln(x, g2, b2)
+        return x + jax.nn.gelu(h @ w1) @ w2
+
+    def run(name, mode, n):
+        xi = x0[:, :n]
+
+        @jax.jit
+        def prog(x, wt):
+            acc = jnp.float32(0)
+            for i in range(8):
+                y, _ = jax.lax.scan(
+                    lambda cc, w: (block(cc, w, mode, n), None),
+                    x + i * 1e-6, wt)
+                acc += jnp.sum(y)
+            return acc
+        report(name, timed(lambda i: prog(xi + i * 1e-6, ws)), per=1)
+
+    run("dinoj.plain257", "plain", 257)
+    run("dinoj.split257", "split", 257)
+    run("dinoj.plain256_bound", "plain", 256)
+
+    # exactness of the split-softmax: the production implementation (if
+    # adopted) carries its own parity test; here a quick on-device check
+    ref = jax.jit(lambda x, w: jax.lax.scan(
+        lambda cc, ww: (block(cc, ww, "plain", 257), None), x, w)[0])
+    spl = jax.jit(lambda x, w: jax.lax.scan(
+        lambda cc, ww: (block(cc, ww, "split", 257), None), x, w)[0])
+    d = jnp.max(jnp.abs(ref(x0, ws).astype(jnp.float32)
+                        - spl(x0, ws).astype(jnp.float32)))
+    _log(f"dinoj split-vs-plain max abs diff (bf16): {float(d):.2e}")
+
+
 @exp("segi")
 def exp_segi():
     """Seg-encoder layout itemization (round 5): carried-window layout
