@@ -1993,6 +1993,113 @@ def exp_dinoi2():
            per=1)
 
 
+@exp("amgi")
+def exp_amgi():
+    """Itemize the exact iou-prefix pass (52.7 ms for all 1024 points,
+    round 4c): the factored two-way transformer's pieces at production
+    shape — t2i cross-attentions, i2t update factors, factored LN — to
+    find whether one op dominates (as erf-gelu did in the DINOv2 trunk)."""
+    from sam6d_tpu.core.config import SAMConfig
+    from sam6d_tpu.pipelines.sam_amg import SAMSegmentor
+
+    rng = np.random.RandomState(0)
+    cfg = SAMConfig()
+    g = cfg.img_size // cfg.patch_size
+    C = cfg.prompt_embed_dim
+    seg = SAMSegmentor(cfg, variables="eval_shape", dtype=jnp.bfloat16)
+    emb = jnp.asarray(rng.rand(g, g, C).astype(np.float32) * 0.1
+                      ).astype(jnp.bfloat16)
+    dense_pe = jax.jit(lambda v: seg.prompt_encoder.apply(
+        v["prompt_encoder"], method="dense_pe"))(seg.vars)
+    pts_all = jnp.asarray(rng.rand(1024, 2).astype(np.float32)
+                          * cfg.img_size)
+
+    def iou_all(v, e, p):
+        return seg._iou_all_impl(v, e, dense_pe, p)
+
+    prog = jax.jit(lambda v, e, p: jnp.sum(iou_all(v, e, p)))
+    report("amgi.iou_all_1024",
+           timed(lambda i: prog(seg.vars, emb + i * 1e-6, pts_all)), per=1)
+
+    # cost attribution by knocking pieces out (WRONG numerics, cost only):
+    # the factored pass's pieces are methods on TwoWayTransformer —
+    # monkeypatch at class level, re-jit, measure, restore
+    from sam6d_tpu.models import sam as sam_mod
+    TW = sam_mod.TwoWayTransformer
+
+    def run_variant(name, patch):
+        saved = {k: TW.__dict__[k] for k in patch}  # keep staticmethod wrap
+        for k, f in patch.items():
+            setattr(TW, k, f)
+        try:
+            prog_v = jax.jit(lambda v, e, p: jnp.sum(iou_all(v, e, p)))
+            report(name, timed(
+                lambda i: prog_v(seg.vars, emb + i * 1e-6, pts_all)),
+                per=1)
+        finally:
+            for k, f in saved.items():
+                setattr(TW, k, f)
+
+    run_variant("amgi.no_ln", {
+        "_ln_factored": staticmethod(
+            lambda gamma, beta, S, a, Pc, Uc, eps=1e-6: (S, a, Pc, Uc))})
+    run_variant("amgi.no_i2t_no_ln", {
+        "_i2t_update_factors":
+            lambda self, att, queries, point_embedding, S, a, P, U, pos:
+            (P, U),
+        "_ln_factored": staticmethod(
+            lambda gamma, beta, S, a, Pc, Uc, eps=1e-6: (S, a, Pc, Uc))})
+
+    # inside-ln attribution: keep the structure (P2/U2 concats, mu/inv)
+    # but skip the (B, N, R) cross/gram einsums (wrong numerics, cost only)
+    def ln_cheap(gamma, beta, S, a, Pc, Uc, eps=1e-6):
+        B, N, R = Pc.shape
+        dt = S.dtype
+        mS = jnp.mean(S, axis=-1)
+        mu = jnp.broadcast_to(
+            mS[None] if a is None else a * mS[None], (B, N))
+        inv = jax.lax.rsqrt(jnp.abs(mu) + eps).astype(dt)
+        S2 = S * gamma
+        a2 = inv if a is None else a * inv
+        P2 = jnp.concatenate(
+            [Pc * inv[..., None], (-mu * inv)[..., None],
+             jnp.ones((B, N, 1), dt)], axis=-1)
+        U2 = jnp.concatenate(
+            [Uc * gamma, jnp.broadcast_to(gamma, (B, 1, S.shape[-1]))
+             .astype(dt),
+             jnp.broadcast_to(beta, (B, 1, S.shape[-1])).astype(dt)],
+            axis=1)
+        return S2, a2, P2, U2
+
+    run_variant("amgi.ln_noeinsum", {"_ln_factored": staticmethod(ln_cheap)})
+
+    # t2i P-term / a-scaling knocked out (wrong numerics, cost only)
+    import sam6d_tpu.models.sam as _sm
+    orig_t2i = TW._t2i_factored
+
+    def t2i_no_p(self, att, q_tokens, S, a, P, U, pos):
+        return orig_t2i(self, att, q_tokens, S, a, None, None, pos)
+
+    def t2i_no_a(self, att, q_tokens, S, a, P, U, pos):
+        return orig_t2i(self, att, q_tokens, S, None, P, U, pos)
+
+    run_variant("amgi.t2i_noP", {"_t2i_factored": t2i_no_p})
+    run_variant("amgi.t2i_noA", {"_t2i_factored": t2i_no_a})
+
+    # i2t score-correction knocked out (q-side P-term in the i2t scores)
+    orig_i2t = TW._i2t_update_factors
+
+    def i2t_no_p(self, att, queries, point_embedding, S, a, P, U, pos):
+        Pd, Ud = orig_i2t(self, att, queries, point_embedding, S, a,
+                          None, None, pos)
+        if P is None:
+            return Pd, Ud
+        return (jnp.concatenate([P, Pd], axis=-1),
+                jnp.concatenate([U, Ud], axis=1))
+
+    run_variant("amgi.i2t_scores_noP", {"_i2t_update_factors": i2t_no_p})
+
+
 @exp("dinoj")
 def exp_dinoj():
     """Attention layout at DINOv2 trunk shapes: N=257 pads the score
