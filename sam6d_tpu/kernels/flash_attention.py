@@ -244,6 +244,74 @@ def fused_attention_small(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, N, hd)
 
 
+def _qkv_kernel(qkv_ref, o_ref, *, heads, scale):
+    """qkv_ref: (bb, N, 3C); o_ref: (bb, N, C). One grid step = `bb` whole
+    trunk samples; heads are sliced out of the channel dim IN VMEM (a
+    lane-offset register relayout), so the head axis never exists in HBM.
+
+    Motivation: head-major kernels (`fused_attention_small`) force the
+    caller into (B, N, H, hd) -> (B, H, N, hd) transposes on q/k/v and back
+    on the output — ~16 ms of pure HBM relayout per 128-crop DINOv2
+    describe, which is why the head-major kernel measured a LOSS vs the
+    einsum chain (round 4). This kernel reads the fused qkv projection
+    verbatim and writes the (B, N, C) output the out-proj consumes.
+    """
+    C = o_ref.shape[-1]
+    hd = C // heads
+    for h in range(heads):
+        qh = qkv_ref[:, :, h * hd:(h + 1) * hd]
+        kh = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
+        vh = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        # same-cast numerator/denominator (see _small_kernel)
+        pc = p.astype(qkv_ref.dtype)
+        l = jnp.sum(pc.astype(jnp.float32), axis=-1, keepdims=True)
+        out = jax.lax.dot_general(pc, vh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        o_ref[:, :, h * hd:(h + 1) * hd] = (
+            out / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_attention_qkv(qkv: jnp.ndarray, heads: int, scale: float,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused multi-head attention straight off the fused qkv projection.
+
+    qkv: (B, N, 3C) laid out [q | k | v] on the channel axis, each C wide
+    with heads contiguous (hd = C // heads) — exactly the Dense(3C) output
+    of a timm-style trunk (reference vision_transformer.py Attention).
+    Returns (B, N, C), the input to the output projection. HBM traffic is
+    the qkv read + output write; scores, softmax, and the head axis itself
+    live only in VMEM.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    item = jnp.dtype(qkv.dtype).itemsize
+    # per-sample working set: qkv in + out + fp32 scores + p cast (scores
+    # lane-pad N to 128s; keep the estimate on the padded shape)
+    Np = _round_up(N, 128)
+    per_b = (N * C3 * item + N * C * item
+             + _round_up(N, 8) * Np * (4 + item) + 4 * N * C)
+    bb = max(1, min(B, _VMEM_BUDGET // max(per_b, 1)))
+    while B % bb:
+        bb -= 1
+    out = pl.pallas_call(
+        partial(_qkv_kernel, heads=heads, scale=scale),
+        grid=(B // bb,),
+        in_specs=[pl.BlockSpec((bb, N, C3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out
+
+
 @partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
 def flash_attention_relpos(
     q: jnp.ndarray,

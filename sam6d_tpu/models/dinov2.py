@@ -25,16 +25,23 @@ class DinoBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # ln_folded: norm1/norm2 run stats-only — their gamma/beta have been
+    # folded into the qkv/fc1 weights by fold_ln_affine (exact re-
+    # association; saves the per-token affine elementwise passes)
+    ln_folded: bool = False
 
     @nn.compact
     def __call__(self, x):
+        aff = not self.ln_folded
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, use_scale=aff,
+                         use_bias=aff, name="norm1")(x)
         x = x + ls1.astype(x.dtype) * Attention(
             self.dim, self.num_heads, dtype=self.dtype,
             use_flash=self.use_flash, name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, use_scale=aff,
+                         use_bias=aff, name="norm2")(x)
         x = x + ls2.astype(x.dtype) * MlpBlock(
             int(self.dim * self.mlp_ratio), self.dim,
             dtype=self.dtype, name="mlp")(h)
@@ -47,12 +54,13 @@ class _ScanDinoBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    ln_folded: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         y = DinoBlock(self.dim, self.num_heads, self.mlp_ratio,
                       dtype=self.dtype, use_flash=self.use_flash,
-                      name="block")(carry)
+                      ln_folded=self.ln_folded, name="block")(carry)
         return y, None
 
 
@@ -67,6 +75,7 @@ class DINOv2(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    ln_folded: bool = False  # see DinoBlock.ln_folded / fold_ln_affine
     unroll: bool = False  # flatten the block scan at lowering (see below)
 
     @nn.compact
@@ -93,9 +102,53 @@ class DINOv2(nn.Module):
                           unroll=self.depth if self.unroll else 1)
         x, _ = Scanned(self.embed_dim, self.num_heads, self.mlp_ratio,
                        dtype=self.dtype, use_flash=self.use_flash,
-                       name="blocks")(x, None)
+                       ln_folded=self.ln_folded, name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0], x[:, 1:]
+
+
+def fold_ln_affine(variables):
+    """Fold every block's norm1/norm2 affine into the qkv / fc1 weights.
+
+    LN_affine(x) @ W + b  ==  LN_stats(x) @ (gamma[:, None] * W)
+                              + (b + beta @ W)
+    exactly (re-association only). Use with DINOv2(ln_folded=True): the
+    per-token gamma-multiply + beta-add elementwise passes disappear into
+    the neighboring GEMM weights. Weight math in fp32; idempotent-safe
+    (returns the tree unchanged if norm1 is already folded away).
+
+    Input: the UNFOLDED variables as produced by the converters
+    (reference layout, weights/convert_dinov2.py). Works on the scanned
+    tree (leading depth axis on every block param).
+    """
+    params = variables.get("params", variables)
+    blk = params.get("blocks", {}).get("block")
+    if blk is None or "norm1" not in blk:
+        return variables
+    blk = dict(blk)
+    for norm, mod_name, leaf in (("norm1", "attn", "qkv"),
+                                 ("norm2", "mlp", "fc1")):
+        g = blk[norm]["scale"].astype(jnp.float32)      # (depth, C)
+        b = blk[norm]["bias"].astype(jnp.float32)
+        mod = dict(blk[mod_name])
+        tgt = dict(mod[leaf])
+        W = tgt["kernel"].astype(jnp.float32)           # (depth, C, F)
+        dt = tgt["kernel"].dtype
+        tgt["kernel"] = (W * g[:, :, None]).astype(dt)
+        tgt["bias"] = (tgt["bias"].astype(jnp.float32)
+                       + jnp.einsum("dc,dcf->df", b, W)).astype(dt)
+        mod[leaf] = tgt
+        blk[mod_name] = mod
+        del blk[norm]
+    new_params = dict(params)
+    new_blocks = dict(new_params["blocks"])
+    new_blocks["block"] = blk
+    new_params["blocks"] = new_blocks
+    if "params" in variables:
+        out = dict(variables)
+        out["params"] = new_params
+        return out
+    return new_params
 
 
 def masked_patch_descriptors(patch_tokens: jnp.ndarray,

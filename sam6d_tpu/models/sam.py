@@ -717,6 +717,10 @@ class TwoWayTransformer(nn.Module):
     num_heads: int = 8
     mlp_dim: int = 2048
     dtype: jnp.dtype = jnp.float32
+    # run the P-carrying factored t2i attentions as one Pallas kernel per
+    # prompt (kernels/factored_t2i.py): scores + softmax + value
+    # contractions in VMEM instead of ~5 (B, HT, N) HBM round-trips
+    factored_kernel: bool = False
 
     def setup(self):
         self.layers = [TwoWayAttentionBlock(
@@ -756,24 +760,61 @@ class TwoWayTransformer(nn.Module):
         return KS, UK, KC
 
     @staticmethod
-    def _ln_factored(gamma, beta, S, a, Pc, Uc, eps=1e-6):
-        """LayerNorm over the channel axis of x = a ⊙ S + Pc @ Uc,
-        returning the updated factored state (S', a', P', U'). Exact
+    def _blocks_concat(blocks):
+        """Materialize P_eff (B, R, N) from the scaled-block factors —
+        only the XLA fallback path and the kf upscale GEMM ever do this."""
+        parts = [pd if s is None else pd * s[:, None, :]
+                 for pd, s in blocks]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+
+    @staticmethod
+    def _ln_factored(gamma, beta, S, a, blocks, Uc, eps=1e-6):
+        """LayerNorm over the channel axis of x = a ⊙ S + P_eff^T @ Uc,
+        returning the updated factored state (S', a', blocks', U'). Exact
         (flax fast-variance formula): mean and E[x^2] are linear/quadratic
         in the factors, and the per-position 1/sigma scaling commutes with
-        channel-wise operations."""
-        B, N, R = Pc.shape
+        channel-wise operations.
+
+        P_eff is carried as SCALED BLOCKS — a tuple of (Pd (B, R_i, N),
+        s (B, N) or None) whose concatenation along R, each block
+        multiplied per-position by its scale, is the effective P. The LN
+        therefore never touches the big (B, R, N) tensors: it multiplies
+        the (B, N) scales by 1/sigma and appends one tiny rank-2 block
+        ([-mu/sigma, 1] rows). Round-5 history: the concat-P formulation
+        cost ~12 ms/iou-pass in concat/scale materializations alone
+        (probe amgi, PERFORMANCE.md); N=4096 rides the lane axis."""
         C = S.shape[-1]
         dt = S.dtype
+        B, _, N = blocks[0][0].shape
         mS = jnp.mean(S, axis=-1)                      # (N,)
         qS = jnp.mean(S * S, axis=-1)                  # (N,)
         mU = jnp.mean(Uc, axis=-1)                     # (B, R)
-        mu_d = jnp.einsum("bnr,br->bn", Pc, mU)
+        offs = [0]
+        for pd, _ in blocks:
+            offs.append(offs[-1] + pd.shape[1])
+
+        def scl(x, s):
+            return x if s is None else x * s
+
+        mu_d = 0.0
+        cross = 0.0
+        for i, (pd, s) in enumerate(blocks):
+            o0, o1 = offs[i], offs[i + 1]
+            mu_d = mu_d + scl(jnp.einsum("brn,br->bn", pd, mU[:, o0:o1]), s)
+            G2 = jnp.einsum("nc,brc->brn", S, Uc[:, o0:o1])
+            cross = cross + scl(jnp.sum(pd * G2, axis=1), s)
         mu = (mS[None] if a is None else a * mS[None]) + mu_d
-        G2 = jnp.einsum("nc,brc->bnr", S, Uc)          # (B, N, R)
-        cross = jnp.sum(Pc * G2, axis=-1) / C          # E[S .* D]
+        cross = cross / C
         gram = jnp.einsum("brc,bsc->brs", Uc, Uc) / C
-        d2 = jnp.sum(jnp.einsum("bnr,brs->bns", Pc, gram) * Pc, axis=-1)
+        d2 = 0.0
+        for i, (pd_i, s_i) in enumerate(blocks):
+            W = 0.0
+            for j, (pd_j, s_j) in enumerate(blocks):
+                g_ij = gram[:, offs[i]:offs[i + 1], offs[j]:offs[j + 1]]
+                W = W + scl(jnp.einsum("brt,btn->brn", g_ij, pd_j),
+                            None if s_j is None else s_j[:, None, :])
+            d2 = d2 + scl(jnp.sum(pd_i * W, axis=1), s_i)
         aa = 1.0 if a is None else a * a
         a1 = 1.0 if a is None else a
         e2 = aa * qS[None] + 2.0 * a1 * cross + d2
@@ -781,17 +822,21 @@ class TwoWayTransformer(nn.Module):
         inv = jax.lax.rsqrt(var + eps).astype(dt)
         S2 = S * gamma
         a2 = inv if a is None else a * inv
-        P2 = jnp.concatenate(
-            [Pc * inv[..., None], (-mu * inv)[..., None],
-             jnp.ones((B, N, 1), dt)], axis=-1)
+        blocks2 = tuple((pd, inv if s is None else s * inv)
+                        for pd, s in blocks)
+        rows = jnp.concatenate(
+            [(-mu * inv)[:, None, :], jnp.ones((B, 1, N), dt)], axis=1)
+        blocks2 = blocks2 + ((rows, None),)
         U2 = jnp.concatenate(
             [Uc * gamma, jnp.broadcast_to(gamma, (B, 1, C)),
              jnp.broadcast_to(beta, (B, 1, C))], axis=1)
-        return S2, a2, P2, U2
+        return S2, a2, blocks2, U2
 
-    def _t2i_factored(self, att, q_tokens, S, a, P, U, pos):
+    def _t2i_factored(self, att, q_tokens, S, a, blocks, U, pos):
         """Token->image cross-attention with factored keys; returns the
-        attention output on the token side (B, T, C). Exact."""
+        attention output on the token side (B, T, C). Exact. `blocks` is
+        the scaled-block P (see _ln_factored) — empty tuple before the
+        first image<-token update."""
         H = self.num_heads
         d = att.inner_dim
         hd = d // H
@@ -801,13 +846,22 @@ class TwoWayTransformer(nn.Module):
         T = HT // H
         N = S.shape[0]
         KS, UK, KC = self._proj_factored(att.k_proj, S, U, pos)
+        if (self.factored_kernel and blocks and a is not None
+                and KC.shape[0] == N):
+            from ..kernels.factored_t2i import factored_t2i_attention
+            VS, UV, VC = self._proj_factored(att.v_proj, S, U, None)
+            res = factored_t2i_attention(qb, UK, UV, blocks, a, KS, KC, VS)
+            res = res + VC  # softmax rows sum to 1: bias adds once
+            out = _heads_diag_out(res, H, hd)
+            return att._apply(att.out_proj, out)
+        P = self._blocks_concat(blocks) if blocks else None
         s = jnp.einsum("btd,nd->btn", qb, KS)
         if a is not None:
             s = s * a[:, None, :]
         s = s + (qb @ KC.T if KC.shape[0] == N
                  else jnp.einsum("btd,od->bto", qb, KC))
         if P is not None:
-            s = s + jnp.einsum("btr,bnr->btn",
+            s = s + jnp.einsum("btr,brn->btn",
                                jnp.einsum("btd,brd->btr", qb, UK), P)
         p = jax.nn.softmax(s.reshape(B, H, T, N), axis=-1
                            ).reshape(B, HT, N)
@@ -816,16 +870,17 @@ class TwoWayTransformer(nn.Module):
         res = jnp.einsum("btn,nd->btd", pa, VS)
         if P is not None:
             res = res + jnp.einsum("btr,brd->btd",
-                                   jnp.einsum("btn,bnr->btr", p, P), UV)
+                                   jnp.einsum("btn,brn->btr", p, P), UV)
         res = res + VC  # softmax rows sum to 1 per head: bias adds once
         out = _heads_diag_out(res, H, hd)
         return att._apply(att.out_proj, out)
 
     def _i2t_update_factors(self, att, queries, point_embedding,
-                            S, a, P, U, pos):
-        """Image<-token cross-attention, returned as the concatenated
-        low-rank update factors (Pc, Uc) for delta = p3 @ (v_b W_o) + b_o.
-        Exact (out-proj reassociated; rank H*T + 1)."""
+                            S, a, blocks, U, pos):
+        """Image<-token cross-attention, returned as scaled blocks
+        extended by one raw dense block (Pd (B, HT+1, N), scale None) and
+        the matching Uc rows ((v_b W_o) plus a trailing b_o row), so that
+        delta = Pd^T @ Ud. Exact (out-proj reassociated; rank H*T + 1)."""
         H = self.num_heads
         d = att.inner_dim
         hd = d // H
@@ -837,44 +892,64 @@ class TwoWayTransformer(nn.Module):
         k_t = att._apply(att.k_proj, queries + point_embedding)  # (B, T, d)
         T = k_t.shape[1]
         eye = jnp.eye(H, dtype=dt)
-        kb = jnp.einsum("bnhc,hg->bgchn", k_t.reshape(B, T, H, hd),
-                        eye).reshape(B, d, H * T)
-        s = jnp.einsum("nd,bdk->bnk", QS, kb)
-        if a is not None:
-            s = s * a[..., None]
-        s = s + (jnp.einsum("nd,bdk->bnk", QC, kb) if QC.shape[0] == N
-                 else jnp.einsum("od,bdk->bok", QC, kb))
-        if P is not None:
-            s = s + jnp.einsum("bnr,brk->bnk", P,
-                               jnp.einsum("brd,bdk->brk", UQ, kb))
-        p3 = jax.nn.softmax(s.reshape(B, N, H, T), axis=-1
-                            ).reshape(B, N, H * T)
+        if self.factored_kernel and QC.shape[0] == N:
+            # fused kernel: scores + per-head softmax in VMEM, the
+            # (B, HT+1, N) probability block written once
+            from ..kernels.factored_t2i import factored_i2t_scores
+            kbT = jnp.einsum("bnhc,hg->bhngc", k_t.reshape(B, T, H, hd),
+                             eye).reshape(B, H * T, d)
+            Pd = factored_i2t_scores(kbT, UQ if blocks else None, blocks,
+                                     a, QS, QC, H)
+        else:
+            kb = jnp.einsum("bnhc,hg->bgchn", k_t.reshape(B, T, H, hd),
+                            eye).reshape(B, d, H * T)
+            # scores in (B, HT, N): image positions on the lane axis (see
+            # _ln_factored layout note)
+            s = jnp.einsum("nd,bdk->bkn", QS, kb)
+            if a is not None:
+                s = s * a[:, None, :]
+            s = s + (jnp.einsum("nd,bdk->bkn", QC, kb)
+                     if QC.shape[0] == N
+                     else jnp.einsum("od,bdk->bko", QC, kb))
+            if blocks:
+                UQkb = jnp.einsum("brd,bdk->brk", UQ, kb)
+                off = 0
+                for pd, sc in blocks:
+                    r = pd.shape[1]
+                    term = jnp.einsum("brn,brk->bkn", pd,
+                                      UQkb[:, off:off + r])
+                    s = s + (term if sc is None else term * sc[:, None, :])
+                    off += r
+            # softmax over the T tokens of each head: rows = (h, t) pairs
+            p3 = jax.nn.softmax(s.reshape(B, H, T, N), axis=2
+                                ).reshape(B, H * T, N)
+            Pd = jnp.concatenate([p3, jnp.ones((B, 1, N), dt)], axis=1)
         v_t = att._apply(att.v_proj, queries)
         vb = jnp.einsum("bnhc,hg->bhngc", v_t.reshape(B, T, H, hd),
                         eye).reshape(B, H * T, d)
         Wo, bo = att.out_proj()
         vbo = vb @ Wo.astype(dt)                        # (B, HT, C)
-        Pd = jnp.concatenate([p3, jnp.ones((B, N, 1), dt)], axis=-1)
         Ud = jnp.concatenate(
             [vbo, jnp.broadcast_to(bo.astype(dt), (B, 1, self.embed_dim))],
             axis=1)
-        if P is None:
-            return Pd, Ud
-        return (jnp.concatenate([P, Pd], axis=-1),
-                jnp.concatenate([U, Ud], axis=1))
+        blocks2 = blocks + ((Pd, None),)
+        U2 = Ud if U is None else jnp.concatenate([U, Ud], axis=1)
+        return blocks2, U2
 
     def factored(self, image_embedding, image_pe, point_embedding):
         """Exact two-way pass with the image side kept factored
-        (a ⊙ S + P @ U). image_embedding/image_pe: (1, N, C);
-        point_embedding: (B, T, C). Returns
-        (queries (B, T, C), (S (N, C), a (B, N), P (B, N, R), U (B, R, C))).
+        (a ⊙ S + P_eff^T @ U, P_eff as scaled blocks — see _ln_factored).
+        image_embedding/image_pe: (1, N, C); point_embedding: (B, T, C).
+        Returns (queries (B, T, C), (S (N, C), a (B, N),
+        blocks (tuple of (Pd (B, R_i, N), scale (B, N) | None)),
+        U (B, R, C))).
         """
         dt = self.dtype
         queries = point_embedding
         S = image_embedding[0].astype(dt)
         pos = image_pe
         a = None
-        P = None
+        blocks = ()
         U = None
         for lyr in self.layers:
             if lyr.skip_first_layer_pe:
@@ -885,20 +960,21 @@ class TwoWayTransformer(nn.Module):
             queries = lyr.norm1(queries)
             attn = self._t2i_factored(lyr.cross_attn_token_to_image,
                                       queries + point_embedding,
-                                      S, a, P, U, pos)
+                                      S, a, blocks, U, pos)
             queries = lyr.norm2(queries + attn)
             queries = lyr.norm3(queries + lyr.mlp(queries))
-            Pc, Uc = self._i2t_update_factors(
+            blocks, U = self._i2t_update_factors(
                 lyr.cross_attn_image_to_token, queries, point_embedding,
-                S, a, P, U, pos)
+                S, a, blocks, U, pos)
             gamma, beta = lyr.norm4()
-            S, a, P, U = self._ln_factored(gamma.astype(dt),
-                                           beta.astype(dt), S, a, Pc, Uc)
+            S, a, blocks, U = self._ln_factored(gamma.astype(dt),
+                                                beta.astype(dt), S, a,
+                                                blocks, U)
         attn = self._t2i_factored(self.final_attn_token_to_image,
-                                  queries + point_embedding, S, a, P, U,
-                                  pos)
+                                  queries + point_embedding, S, a, blocks,
+                                  U, pos)
         queries = self.norm_final_attn(queries + attn)
-        return queries, (S, a, P, U)
+        return queries, (S, a, blocks, U)
 
     def __call__(self, image_embedding, image_pe, point_embedding,
                  update_keys=True):
@@ -1021,6 +1097,9 @@ class MaskDecoder(nn.Module):
     # image side as a ⊙ S + P @ U through the whole transformer (exact);
     # the (B, N, C) tensor appears only in the single upscale GEMM.
     factored_keys: bool = False
+    # fuse the P-carrying factored t2i attentions into a Pallas kernel
+    # (TwoWayTransformer.factored_kernel); TPU-only
+    factored_kernel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -1071,7 +1150,8 @@ class MaskDecoder(nn.Module):
         tw = TwoWayTransformer(
             depth=2, embed_dim=self.transformer_dim,
             num_heads=self.twoway_num_heads, mlp_dim=self.twoway_mlp_dim,
-            dtype=self.dtype, name="transformer")
+            dtype=self.dtype, factored_kernel=self.factored_kernel,
+            name="transformer")
         kf = None
         if iou_only:
             # exact token-side pass with the image side kept factored —
@@ -1114,10 +1194,19 @@ class MaskDecoder(nn.Module):
                 C // 4, 4 * (C // 8))
             if kf is not None:
                 # factored keys: the only (B, N, C) materialization
-                Sf, af, Pf, Uf = kf
+                Sf, af, blocks_f, Uf = kf
                 k1d = k1m.astype(Sf.dtype)
-                z = (af[..., None] * (Sf @ k1d)[None]
-                     + jnp.einsum("bnr,brc->bnc", Pf, Uf @ k1d))
+                Ufk = Uf @ k1d
+                zd = 0.0
+                off = 0
+                for pd, sc in blocks_f:
+                    r = pd.shape[1]
+                    part = jnp.einsum("brn,brc->bnc", pd,
+                                      Ufk[:, off:off + r])
+                    zd = zd + (part if sc is None
+                               else part * sc[..., None])
+                    off += r
+                z = af[..., None] * (Sf @ k1d)[None] + zd
             else:
                 z = src @ k1m.astype(src.dtype)  # (Bs, H*W, 4*(C//4)) raw
             if self.block_masks:

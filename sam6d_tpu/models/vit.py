@@ -88,19 +88,25 @@ class Attention(nn.Module):
         # interleaves heads across the minor dim and XLA materializes the
         # relayout — measured -7 ms per 128-crop describe (probe dinoi2:
         # direct_qkv 144.1 vs 151.0 ms)
+        if self.use_flash and N <= 1024:
+            # token-layout kernel: consumes the fused qkv projection
+            # verbatim and emits (B, N, C) — no (B, H, N, hd) transposes,
+            # no HBM scores. The head-major small kernel's four transposes
+            # cost ~16 ms of pure HBM relayout per 128-crop describe (why
+            # flash measured a LOSS vs the einsum chain in round 4).
+            from ..kernels.flash_attention import fused_attention_qkv
+            out = fused_attention_qkv(qkv, self.num_heads,
+                                      scale=float(head_dim) ** -0.5)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         q = qkv[..., :self.dim].reshape(B, N, self.num_heads, head_dim)
         k = qkv[..., self.dim:2 * self.dim].reshape(
             B, N, self.num_heads, head_dim)
         v = qkv[..., 2 * self.dim:].reshape(B, N, self.num_heads, head_dim)
         if self.use_flash:
-            from ..kernels.flash_attention import (fused_attention,
-                                                   fused_attention_small)
-            # short trunks (DINOv2 257 / MAE 197 tokens): the small kernel
-            # reads q/k/v verbatim — fused_attention's HBM-padded q_aug
-            # copies (hd 64->128, N->384) cost more than it saves there
-            fa = fused_attention_small if N <= 512 else fused_attention
-            out = fa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                     v.transpose(0, 2, 1, 3), scale=float(head_dim) ** -0.5)
+            from ..kernels.flash_attention import fused_attention
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), scale=float(head_dim) ** -0.5)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         else:
             # a [cls | 256-patch] key split (lane-clean scores vs the

@@ -34,13 +34,21 @@ class ISMPipeline:
                  dtype=jnp.float32):
         self.cfg = cfg
         d = cfg.dinov2
-        # measured on v5e: the fused-attention kernel LOSES to the XLA
-        # einsum path at 257-token shapes (277 vs 217 ms for 128 crops) —
-        # the N->384 lane padding + augmented-operand traffic outweigh the
-        # saved score round-trips. Keep einsum attention here.
+        # token-layout fused attention (kernels/flash_attention.py
+        # fused_attention_qkv): reads the qkv projection verbatim, heads
+        # sliced in VMEM — measured 123.8 vs 130.6 ms/128-crop describe
+        # against the einsum chain (probe dinok, round 5). The earlier
+        # head-major kernels LOST here (277 vs 217 round 2; -15 ms round
+        # 4) because of their (B,H,N,hd) HBM transposes.
+        use_flash = (jax.default_backend() == "tpu"
+                     and dtype == jnp.bfloat16)
+        # ln_folded: block LN affines live inside the qkv/fc1 weights
+        # (fold_ln_affine below) — exact re-association, drops the
+        # per-token gamma/beta elementwise passes
         self.dinov2 = DINOv2(img_size=d.img_size, patch_size=d.patch_size,
                              embed_dim=d.embed_dim, depth=d.depth,
-                             num_heads=d.num_heads, dtype=dtype)
+                             num_heads=d.num_heads, use_flash=use_flash,
+                             ln_folded=use_flash, dtype=dtype)
         if dinov2_variables is None:
             dinov2_variables = self.dinov2.init(
                 jax.random.PRNGKey(seed),
@@ -52,6 +60,9 @@ class ISMPipeline:
                     jnp.zeros((1, d.img_size, d.img_size, 3))))
             dinov2_variables = jax.tree.map(
                 lambda sh: jnp.full(sh.shape, 0.01, sh.dtype), shapes)
+        if self.dinov2.ln_folded:
+            from ..models.dinov2 import fold_ln_affine
+            dinov2_variables = fold_ln_affine(dinov2_variables)
         if dtype == jnp.bfloat16:
             from ..core.params import cast_float_params
             dinov2_variables = cast_float_params(dinov2_variables, dtype)

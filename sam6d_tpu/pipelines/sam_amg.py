@@ -92,6 +92,9 @@ class SAMSegmentor:
         # cost more than the saved materializations, so it stays off.
         self.mask_decoder = MaskDecoder(transformer_dim=cfg.prompt_embed_dim,
                                         block_layout=True, block_masks=True,
+                                        factored_kernel=(
+                                            jax.default_backend() == "tpu"
+                                            and dtype == jnp.bfloat16),
                                         dtype=dtype)
         if variables is None:
             variables = self._random_init(seed)

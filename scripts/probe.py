@@ -2042,46 +2042,50 @@ def exp_amgi():
 
     run_variant("amgi.no_ln", {
         "_ln_factored": staticmethod(
-            lambda gamma, beta, S, a, Pc, Uc, eps=1e-6: (S, a, Pc, Uc))})
+            lambda gamma, beta, S, a, blocks, Uc, eps=1e-6:
+            (S, a, blocks, Uc))})
     run_variant("amgi.no_i2t_no_ln", {
         "_i2t_update_factors":
-            lambda self, att, queries, point_embedding, S, a, P, U, pos:
-            (P, U),
+            lambda self, att, queries, point_embedding, S, a, blocks, U,
+            pos: (blocks, U),
         "_ln_factored": staticmethod(
-            lambda gamma, beta, S, a, Pc, Uc, eps=1e-6: (S, a, Pc, Uc))})
+            lambda gamma, beta, S, a, blocks, Uc, eps=1e-6:
+            (S, a, blocks, Uc))})
 
-    # inside-ln attribution: keep the structure (P2/U2 concats, mu/inv)
-    # but skip the (B, N, R) cross/gram einsums (wrong numerics, cost only)
-    def ln_cheap(gamma, beta, S, a, Pc, Uc, eps=1e-6):
-        B, N, R = Pc.shape
+    # inside-ln attribution: keep the structure (scale updates, row
+    # append, U concat) but skip the cross/gram einsums (wrong numerics,
+    # cost only)
+    def ln_cheap(gamma, beta, S, a, blocks, Uc, eps=1e-6):
         dt = S.dtype
+        B, _, N = blocks[0][0].shape
         mS = jnp.mean(S, axis=-1)
         mu = jnp.broadcast_to(
             mS[None] if a is None else a * mS[None], (B, N))
         inv = jax.lax.rsqrt(jnp.abs(mu) + eps).astype(dt)
         S2 = S * gamma
         a2 = inv if a is None else a * inv
-        P2 = jnp.concatenate(
-            [Pc * inv[..., None], (-mu * inv)[..., None],
-             jnp.ones((B, N, 1), dt)], axis=-1)
+        blocks2 = tuple((pd, inv if s is None else s * inv)
+                        for pd, s in blocks)
+        rows = jnp.concatenate(
+            [(-mu * inv)[:, None, :], jnp.ones((B, 1, N), dt)], axis=1)
+        blocks2 = blocks2 + ((rows, None),)
         U2 = jnp.concatenate(
             [Uc * gamma, jnp.broadcast_to(gamma, (B, 1, S.shape[-1]))
              .astype(dt),
              jnp.broadcast_to(beta, (B, 1, S.shape[-1])).astype(dt)],
             axis=1)
-        return S2, a2, P2, U2
+        return S2, a2, blocks2, U2
 
     run_variant("amgi.ln_noeinsum", {"_ln_factored": staticmethod(ln_cheap)})
 
     # t2i P-term / a-scaling knocked out (wrong numerics, cost only)
-    import sam6d_tpu.models.sam as _sm
     orig_t2i = TW._t2i_factored
 
-    def t2i_no_p(self, att, q_tokens, S, a, P, U, pos):
-        return orig_t2i(self, att, q_tokens, S, a, None, None, pos)
+    def t2i_no_p(self, att, q_tokens, S, a, blocks, U, pos):
+        return orig_t2i(self, att, q_tokens, S, a, (), None, pos)
 
-    def t2i_no_a(self, att, q_tokens, S, a, P, U, pos):
-        return orig_t2i(self, att, q_tokens, S, None, P, U, pos)
+    def t2i_no_a(self, att, q_tokens, S, a, blocks, U, pos):
+        return orig_t2i(self, att, q_tokens, S, None, blocks, U, pos)
 
     run_variant("amgi.t2i_noP", {"_t2i_factored": t2i_no_p})
     run_variant("amgi.t2i_noA", {"_t2i_factored": t2i_no_a})
@@ -2089,13 +2093,13 @@ def exp_amgi():
     # i2t score-correction knocked out (q-side P-term in the i2t scores)
     orig_i2t = TW._i2t_update_factors
 
-    def i2t_no_p(self, att, queries, point_embedding, S, a, P, U, pos):
-        Pd, Ud = orig_i2t(self, att, queries, point_embedding, S, a,
-                          None, None, pos)
-        if P is None:
-            return Pd, Ud
-        return (jnp.concatenate([P, Pd], axis=-1),
-                jnp.concatenate([U, Ud], axis=1))
+    def i2t_no_p(self, att, queries, point_embedding, S, a, blocks, U,
+                 pos):
+        b2, U2 = orig_i2t(self, att, queries, point_embedding, S, a,
+                          (), None, pos)
+        if not blocks:
+            return b2, U2
+        return blocks + b2, jnp.concatenate([U, U2], axis=1)
 
     run_variant("amgi.i2t_scores_noP", {"_i2t_update_factors": i2t_no_p})
 
@@ -2273,6 +2277,110 @@ def exp_dinochunk():
             report(f"dinochunk.c{chunk}_n{nval}",
                    timed(lambda i: g(pipe.dinov2_vars, rgb01 + i * 1e-7,
                                      val)), per=1)
+
+
+@exp("dinok")
+def exp_dinok():
+    """Token-layout flash kernel (fused_attention_qkv: heads sliced from
+    the fused qkv channels in VMEM, no transposes, no HBM scores) vs the
+    production einsum chain, on the REAL flax DINOv2 block stack at
+    describe shape (8 chunks x 16 crops x 257 tokens). One process."""
+    from sam6d_tpu.core.config import DINOv2Config
+    from sam6d_tpu.core.params import cast_float_params
+    from sam6d_tpu.models.dinov2 import _ScanDinoBlock
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+    c = DINOv2Config()
+    D, Hd, depth = c.embed_dim, c.num_heads, c.depth
+    B, N = 16, 257
+    x0 = jnp.asarray(rng.rand(B, N, D).astype(np.float32)).astype(
+        jnp.bfloat16)
+
+    for name, flash in (("dinok.einsum", False), ("dinok.flash_qkv", True)):
+        Scanned = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=depth)
+        mod = Scanned(D, Hd, 4.0, dtype=jnp.bfloat16, use_flash=flash,
+                      name=None)
+        v = cast_float_params(init_like(
+            lambda: mod.init(jax.random.PRNGKey(0), x0, None)),
+            jnp.bfloat16)
+
+        @jax.jit
+        def prog(v, x):
+            acc = jnp.float32(0)
+            for i in range(8):
+                y, _ = mod.apply(v, x + i * 1e-6, None)
+                acc += jnp.sum(y)
+            return acc
+        report(name, timed(lambda i: prog(v, x0 + i * 1e-6)), per=1)
+
+    # numerics cross-check on-chip: same weights, both paths
+    Sc = nn.scan(_ScanDinoBlock, variable_axes={"params": 0},
+                 split_rngs={"params": True}, length=depth)
+    m0 = Sc(D, Hd, 4.0, dtype=jnp.bfloat16, use_flash=False, name=None)
+    m1 = Sc(D, Hd, 4.0, dtype=jnp.bfloat16, use_flash=True, name=None)
+    v = cast_float_params(init_like(
+        lambda: m0.init(jax.random.PRNGKey(0), x0, None)), jnp.bfloat16)
+    y0, _ = jax.jit(m0.apply)(v, x0, None)
+    y1, _ = jax.jit(m1.apply)(v, x0, None)
+    diff = float(jnp.max(jnp.abs(y0.astype(jnp.float32)
+                                 - y1.astype(jnp.float32))))
+    ref = float(jnp.max(jnp.abs(y0.astype(jnp.float32))))
+    _log(f"dinok max|einsum-flash| = {diff:.3e} (max|y| {ref:.3e})")
+    RESULTS["dinok.maxdiff"] = diff
+
+
+@exp("dinol")
+def exp_dinol():
+    """Isolated attention cost at DINOv2 trunk shapes (B=16, N=257,
+    C=1024, H=16), 192 applications (24 blocks x 8 chunks): the einsum
+    chain vs the token-layout kernel vs the head-major small kernel
+    (transposes included, as the module would pay them). Bounds how far
+    fused_attention_qkv sits from its floor."""
+    from sam6d_tpu.kernels.flash_attention import (fused_attention_qkv,
+                                                   fused_attention_small)
+
+    rng = np.random.RandomState(0)
+    B, N, C, H = 16, 257, 1024, 16
+    hd = C // H
+    scale = float(hd) ** -0.5
+    qkv0 = jnp.asarray(rng.rand(B, N, 3 * C).astype(np.float32) * 0.1
+                       ).astype(jnp.bfloat16)
+
+    def einsum_attn(qkv):
+        q = qkv[..., :C].reshape(B, N, H, hd)
+        k = qkv[..., C:2 * C].reshape(B, N, H, hd)
+        v = qkv[..., 2 * C:].reshape(B, N, H, hd)
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
+            scale, qkv.dtype)
+        a = jax.nn.softmax(a, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, C)
+
+    def small_attn(qkv):
+        q = qkv[..., :C].reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        k = qkv[..., C:2 * C].reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        v = qkv[..., 2 * C:].reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        o = fused_attention_small(q, k, v, scale=scale)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    def qkv_attn(qkv):
+        return fused_attention_qkv(qkv, H, scale=scale)
+
+    for name, fn in (("dinol.einsum", einsum_attn),
+                     ("dinol.qkv_kernel", qkv_attn),
+                     ("dinol.small_kernel", small_attn)):
+        @jax.jit
+        def prog(qkv):
+            acc = jnp.float32(0)
+            for i in range(8):
+                # serialized via the scalar carry (each step's input is
+                # perturbed by the previous sum: no CSE, no reordering)
+                for j in range(24):
+                    acc += jnp.sum(fn(qkv + (i * 24 + j) * 1e-7
+                                      + acc * 1e-30))
+            return acc
+        report(name, timed(lambda i: prog(qkv0 + i * 1e-6)), per=1)
 
 
 if __name__ == "__main__":

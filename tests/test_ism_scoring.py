@@ -107,6 +107,38 @@ def test_dinov2_parity(rng):
     np.testing.assert_allclose(np.asarray(got_patch), want_patch.numpy(), atol=2e-4)
 
 
+def test_fold_ln_affine_matches_unfolded(rng):
+    """DINOv2(ln_folded=True) on fold_ln_affine(vars) == the standard
+    module on the raw vars (exact re-association, fp32), and the fold is
+    idempotent-safe (second application is a no-op)."""
+    import jax
+    from sam6d_tpu.models.dinov2 import fold_ln_affine
+
+    mod = DINOv2(img_size=28, patch_size=14, embed_dim=32, depth=3,
+                 num_heads=4)
+    modf = DINOv2(img_size=28, patch_size=14, embed_dim=32, depth=3,
+                  num_heads=4, ln_folded=True)
+    x = jnp.asarray(rng.rand(2, 28, 28, 3).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    # non-trivial affines (init is gamma=1, beta=0 — folding those is a
+    # no-op; perturb so the test actually exercises the transform)
+    blk = v["params"]["blocks"]["block"]
+    for n in ("norm1", "norm2"):
+        blk[n]["scale"] = blk[n]["scale"] + jnp.asarray(
+            rng.rand(*blk[n]["scale"].shape).astype(np.float32))
+        blk[n]["bias"] = blk[n]["bias"] + jnp.asarray(
+            rng.randn(*blk[n]["bias"].shape).astype(np.float32) * 0.2)
+    want_cls, want_patch = mod.apply(v, x)
+    vf = fold_ln_affine(v)
+    assert "norm1" not in vf["params"]["blocks"]["block"]
+    assert fold_ln_affine(vf) is vf  # idempotent-safe
+    got_cls, got_patch = modf.apply(vf, x)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_patch),
+                               np.asarray(want_patch), atol=2e-5)
+
+
 def test_masked_patch_descriptors(rng):
     B, S, C, p = 2, 28, 8, 14
     tokens = rng.randn(B, 4, C).astype(np.float32)

@@ -159,6 +159,52 @@ def test_fused_attention_small_bf16_consistent(rng):
     np.testing.assert_allclose(got, want, atol=8e-3)
 
 
+def test_fused_attention_qkv_matches_softmax(rng):
+    """Token-layout kernel: heads sliced from the fused qkv channels in
+    VMEM. Odd N + hd 64 (DINOv2-L shape class), plus a B that forces
+    bb < B so the grid path is exercised."""
+    from sam6d_tpu.kernels.flash_attention import fused_attention_qkv
+    B, heads, N, hd = 3, 4, 57, 64
+    C = heads * hd
+    scale = hd ** -0.5
+    qkv = rng.randn(B, N, 3 * C).astype(np.float32) * 0.5
+    q = qkv[..., :C].reshape(B, N, heads, hd)
+    k = qkv[..., C:2 * C].reshape(B, N, heads, hd)
+    v = qkv[..., 2 * C:].reshape(B, N, heads, hd)
+    attn = np.einsum("bnhc,bmhc->bhnm", q * scale, k)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bmhc->bnhc", attn, v).reshape(B, N, C)
+    got = np.asarray(fused_attention_qkv(
+        jnp.asarray(qkv), heads, scale=scale, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_attention_qkv_bf16_consistent(rng):
+    """bf16: numerator and denominator use the same cast probabilities
+    (matching _small_kernel's ADVICE-round-4 semantics)."""
+    import ml_dtypes
+    from sam6d_tpu.kernels.flash_attention import fused_attention_qkv
+    B, heads, N, hd = 2, 4, 57, 64
+    C = heads * hd
+    scale = hd ** -0.5
+    qkv = (rng.randn(B, N, 3 * C) * 0.5).astype(ml_dtypes.bfloat16)
+    f = qkv.astype(np.float32)
+    q = f[..., :C].reshape(B, N, heads, hd)
+    k = f[..., C:2 * C].reshape(B, N, heads, hd)
+    v = f[..., 2 * C:].reshape(B, N, heads, hd)
+    s = np.einsum("bnhc,bmhc->bhnm", q, k) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    pc = p.astype(ml_dtypes.bfloat16).astype(np.float32)
+    l = pc.sum(-1, keepdims=True)
+    want = (np.einsum("bhnm,bmhc->bnhc", pc, v) /
+            l.transpose(0, 2, 1, 3)).reshape(B, N, C)
+    got = np.asarray(fused_attention_qkv(
+        jnp.asarray(qkv), heads, scale=scale, interpret=True)
+        ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=8e-3)
+
+
 def test_vit_attention_flash_matches_einsum(rng):
     """Module-level: Attention(use_flash) == Attention(einsum path)."""
     import jax

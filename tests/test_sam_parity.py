@@ -269,3 +269,32 @@ def test_factored_keys_matches_standard(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
                                atol=1e-4)
+
+
+def test_factored_t2i_kernel_matches_xla(rng):
+    """The fused factored-t2i Pallas kernel (interpret mode) == the XLA
+    factored chain, through the full iou_only decode (both P-carrying
+    attentions exercised: layer-2 t2i at rank ~HT+3 and the final
+    attention at ~2(HT+1)+4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from sam6d_tpu.models.sam import MaskDecoder
+
+    g, C = 8, 32
+    dec = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                      twoway_mlp_dim=64, block_layout=True,
+                      block_masks=True)
+    dec_k = MaskDecoder(transformer_dim=C, twoway_num_heads=4,
+                        twoway_mlp_dim=64, block_layout=True,
+                        block_masks=True, factored_kernel=True)
+    emb = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    sparse = jnp.asarray(rng.randn(5, 2, C).astype(np.float32) * 0.3)
+    dense = jnp.asarray(rng.randn(g, g, C).astype(np.float32) * 0.3)
+    v = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    _, want_iou = dec.apply(v, emb, pe, sparse, dense, iou_only=True)
+    with pltpu.force_tpu_interpret_mode():
+        _, got_iou = dec_k.apply(v, emb, pe, sparse, dense, iou_only=True)
+    np.testing.assert_allclose(np.asarray(got_iou), np.asarray(want_iou),
+                               atol=1e-4)
