@@ -213,6 +213,140 @@ def factored_i2t_scores(kbT: jnp.ndarray, UQ, blocks, a, QS: jnp.ndarray,
     )(*ops)
 
 
+def _ln_stats_kernel(*refs, sig, eps):
+    """One grid step = one prompt b: the factored-LN channel statistics
+    (mu, 1/sigma) of x = a * S + P_eff^T @ Uc, computed with every
+    (R, N) intermediate in VMEM.
+
+    refs = ([pd_i (1, R_i, N), (s_i (1, 1, N))?]..., uc (1, R, C),
+            [a (1, 1, N)]?, msqs (2, N), s_mat (N, C), o (1, 2, N)).
+    sig = (has_a, ((R_i, has_scale), ...)). msqs rows = [mean(S, C),
+    mean(S*S, C)]; s_mat is the shared S (constant block).
+    """
+    has_a, bsig = sig
+    idx = 0
+    blocks = []
+    for R_i, has_s in bsig:
+        pd = refs[idx]
+        idx += 1
+        s = None
+        if has_s:
+            s = refs[idx]
+            idx += 1
+        blocks.append((pd, s))
+    uc_ref = refs[idx]
+    idx += 1
+    a_ref = None
+    if has_a:
+        a_ref = refs[idx]
+        idx += 1
+    msqs_ref, smat_ref, o_ref = refs[idx:idx + 3]
+
+    uc = uc_ref[0]                                     # (R, C)
+    C = uc.shape[-1]
+    mS = msqs_ref[0:1, :]                              # (1, N)
+    qS = msqs_ref[1:2, :]
+    mU = jnp.mean(uc.astype(jnp.float32), axis=-1, keepdims=True)  # (R, 1)
+    gram = jax.lax.dot_general(uc, uc, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ) / C                   # (R, R)
+    # scaled fp32 blocks, resident for the pairwise quadratic
+    tilde = []
+    off = 0
+    for pd_ref, s_ref in blocks:
+        t = pd_ref[0].astype(jnp.float32)
+        if s_ref is not None:
+            t = t * s_ref[0].astype(jnp.float32)
+        tilde.append((t, off))
+        off += t.shape[0]
+    mu_d = 0.0
+    cross = 0.0
+    for t, o in tilde:
+        r = t.shape[0]
+        mu_d = mu_d + jnp.sum(t * mU[o:o + r], axis=0, keepdims=True)
+        g2 = jax.lax.dot_general(uc[o:o + r], smat_ref[:],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cross = cross + jnp.sum(t * g2, axis=0, keepdims=True)
+    cross = cross / C
+    d2 = 0.0
+    for t_i, o_i in tilde:
+        r_i = t_i.shape[0]
+        W = 0.0
+        for t_j, o_j in tilde:
+            r_j = t_j.shape[0]
+            W = W + jax.lax.dot_general(
+                gram[o_i:o_i + r_i, o_j:o_j + r_j].astype(jnp.float32),
+                t_j, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        d2 = d2 + jnp.sum(t_i * W, axis=0, keepdims=True)
+    if a_ref is not None:
+        av = a_ref[0].astype(jnp.float32)              # (1, N)
+        mu = av * mS + mu_d
+        e2 = av * av * qS + 2.0 * av * cross + d2
+    else:
+        mu = mS + mu_d
+        e2 = qS + 2.0 * cross + d2
+    var = e2 - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    o_ref[0, 0:1] = mu
+    o_ref[0, 1:2] = inv
+
+
+def factored_ln_stats(blocks, Uc: jnp.ndarray, S: jnp.ndarray,
+                      mS: jnp.ndarray, qS: jnp.ndarray, a,
+                      eps: float = 1e-6, interpret: bool = False):
+    """Factored-LN channel statistics, one prompt per grid step.
+
+    blocks: scaled-block P (non-empty); Uc: (B, R, C); S: (N, C) shared;
+    mS/qS: (N,) channel mean / second moment of S; a: (B, N) or None.
+    Returns (mu (B, N), inv (B, N)) in fp32 — every (R, N) intermediate
+    (the S-cross terms, the pairwise gram quadratic) lives only in VMEM.
+    The XLA formulation materialized them in HBM: ~15 ms of the iou pass
+    at production shapes (probe amgi, round 5c).
+    """
+    B = Uc.shape[0]
+    N = S.shape[0]
+    bsig = tuple((pd.shape[1], s is not None) for pd, s in blocks)
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            (lambda i: (i,) + (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    ops = []
+    specs = []
+    for pd, s in blocks:
+        ops.append(pd)
+        specs.append(bspec(pd.shape[1:]))
+        if s is not None:
+            ops.append(s[:, None, :])
+            specs.append(bspec((1, N)))
+    ops.append(Uc)
+    specs.append(bspec(Uc.shape[1:]))
+    if a is not None:
+        ops.append(a[:, None, :])
+        specs.append(bspec((1, N)))
+    msqs = jnp.stack([mS, qS]).astype(jnp.float32)     # (2, N)
+    ops.append(msqs)
+    specs.append(pl.BlockSpec((2, N), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM))
+    ops.append(S)
+    specs.append(pl.BlockSpec(S.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        partial(_ln_stats_kernel, sig=(a is not None, bsig), eps=eps),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 2, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.float32),
+        interpret=interpret,
+    )(*ops)
+    return out[:, 0], out[:, 1]
+
+
 def factored_t2i_attention(qb: jnp.ndarray, UK: jnp.ndarray, UV: jnp.ndarray,
                            blocks, a: jnp.ndarray, KS: jnp.ndarray,
                            KC: jnp.ndarray, VS: jnp.ndarray,

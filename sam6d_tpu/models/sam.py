@@ -768,8 +768,7 @@ class TwoWayTransformer(nn.Module):
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=1)
 
-    @staticmethod
-    def _ln_factored(gamma, beta, S, a, blocks, Uc, eps=1e-6):
+    def _ln_factored(self, gamma, beta, S, a, blocks, Uc, eps=1e-6):
         """LayerNorm over the channel axis of x = a ⊙ S + P_eff^T @ Uc,
         returning the updated factored state (S', a', blocks', U'). Exact
         (flax fast-variance formula): mean and E[x^2] are linear/quadratic
@@ -783,49 +782,59 @@ class TwoWayTransformer(nn.Module):
         the (B, N) scales by 1/sigma and appends one tiny rank-2 block
         ([-mu/sigma, 1] rows). Round-5 history: the concat-P formulation
         cost ~12 ms/iou-pass in concat/scale materializations alone
-        (probe amgi, PERFORMANCE.md); N=4096 rides the lane axis."""
+        (probe amgi, PERFORMANCE.md); N=4096 rides the lane axis. With
+        factored_kernel the statistics come from a Pallas kernel that
+        keeps every (R, N) intermediate in VMEM (factored_ln_stats)."""
         C = S.shape[-1]
         dt = S.dtype
         B, _, N = blocks[0][0].shape
         mS = jnp.mean(S, axis=-1)                      # (N,)
         qS = jnp.mean(S * S, axis=-1)                  # (N,)
-        mU = jnp.mean(Uc, axis=-1)                     # (B, R)
-        offs = [0]
-        for pd, _ in blocks:
-            offs.append(offs[-1] + pd.shape[1])
+        if self.factored_kernel:
+            from ..kernels.factored_t2i import factored_ln_stats
+            mu, inv = factored_ln_stats(blocks, Uc, S, mS, qS, a, eps=eps)
+            inv = inv.astype(dt)
+        else:
+            mU = jnp.mean(Uc, axis=-1)                 # (B, R)
+            offs = [0]
+            for pd, _ in blocks:
+                offs.append(offs[-1] + pd.shape[1])
 
-        def scl(x, s):
-            return x if s is None else x * s
+            def scl(x, s):
+                return x if s is None else x * s
 
-        mu_d = 0.0
-        cross = 0.0
-        for i, (pd, s) in enumerate(blocks):
-            o0, o1 = offs[i], offs[i + 1]
-            mu_d = mu_d + scl(jnp.einsum("brn,br->bn", pd, mU[:, o0:o1]), s)
-            G2 = jnp.einsum("nc,brc->brn", S, Uc[:, o0:o1])
-            cross = cross + scl(jnp.sum(pd * G2, axis=1), s)
-        mu = (mS[None] if a is None else a * mS[None]) + mu_d
-        cross = cross / C
-        gram = jnp.einsum("brc,bsc->brs", Uc, Uc) / C
-        d2 = 0.0
-        for i, (pd_i, s_i) in enumerate(blocks):
-            W = 0.0
-            for j, (pd_j, s_j) in enumerate(blocks):
-                g_ij = gram[:, offs[i]:offs[i + 1], offs[j]:offs[j + 1]]
-                W = W + scl(jnp.einsum("brt,btn->brn", g_ij, pd_j),
-                            None if s_j is None else s_j[:, None, :])
-            d2 = d2 + scl(jnp.sum(pd_i * W, axis=1), s_i)
-        aa = 1.0 if a is None else a * a
-        a1 = 1.0 if a is None else a
-        e2 = aa * qS[None] + 2.0 * a1 * cross + d2
-        var = e2 - mu * mu
-        inv = jax.lax.rsqrt(var + eps).astype(dt)
+            mu_d = 0.0
+            cross = 0.0
+            for i, (pd, s) in enumerate(blocks):
+                o0, o1 = offs[i], offs[i + 1]
+                mu_d = mu_d + scl(
+                    jnp.einsum("brn,br->bn", pd, mU[:, o0:o1]), s)
+                G2 = jnp.einsum("nc,brc->brn", S, Uc[:, o0:o1])
+                cross = cross + scl(jnp.sum(pd * G2, axis=1), s)
+            mu = (mS[None] if a is None else a * mS[None]) + mu_d
+            cross = cross / C
+            gram = jnp.einsum("brc,bsc->brs", Uc, Uc) / C
+            d2 = 0.0
+            for i, (pd_i, s_i) in enumerate(blocks):
+                W = 0.0
+                for j, (pd_j, s_j) in enumerate(blocks):
+                    g_ij = gram[:, offs[i]:offs[i + 1],
+                                offs[j]:offs[j + 1]]
+                    W = W + scl(jnp.einsum("brt,btn->brn", g_ij, pd_j),
+                                None if s_j is None else s_j[:, None, :])
+                d2 = d2 + scl(jnp.sum(pd_i * W, axis=1), s_i)
+            aa = 1.0 if a is None else a * a
+            a1 = 1.0 if a is None else a
+            e2 = aa * qS[None] + 2.0 * a1 * cross + d2
+            var = e2 - mu * mu
+            inv = jax.lax.rsqrt(var + eps).astype(dt)
         S2 = S * gamma
         a2 = inv if a is None else a * inv
         blocks2 = tuple((pd, inv if s is None else s * inv)
                         for pd, s in blocks)
         rows = jnp.concatenate(
-            [(-mu * inv)[:, None, :], jnp.ones((B, 1, N), dt)], axis=1)
+            [(-mu * inv.astype(mu.dtype))[:, None, :].astype(dt),
+             jnp.ones((B, 1, N), dt)], axis=1)
         blocks2 = blocks2 + ((rows, None),)
         U2 = jnp.concatenate(
             [Uc * gamma, jnp.broadcast_to(gamma, (B, 1, C)),

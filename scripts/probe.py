@@ -2041,21 +2041,21 @@ def exp_amgi():
                 setattr(TW, k, f)
 
     run_variant("amgi.no_ln", {
-        "_ln_factored": staticmethod(
-            lambda gamma, beta, S, a, blocks, Uc, eps=1e-6:
-            (S, a, blocks, Uc))})
+        "_ln_factored":
+            lambda self, gamma, beta, S, a, blocks, Uc, eps=1e-6:
+            (S, a, blocks, Uc)})
     run_variant("amgi.no_i2t_no_ln", {
         "_i2t_update_factors":
             lambda self, att, queries, point_embedding, S, a, blocks, U,
             pos: (blocks, U),
-        "_ln_factored": staticmethod(
-            lambda gamma, beta, S, a, blocks, Uc, eps=1e-6:
-            (S, a, blocks, Uc))})
+        "_ln_factored":
+            lambda self, gamma, beta, S, a, blocks, Uc, eps=1e-6:
+            (S, a, blocks, Uc)})
 
     # inside-ln attribution: keep the structure (scale updates, row
     # append, U concat) but skip the cross/gram einsums (wrong numerics,
     # cost only)
-    def ln_cheap(gamma, beta, S, a, blocks, Uc, eps=1e-6):
+    def ln_cheap(self, gamma, beta, S, a, blocks, Uc, eps=1e-6):
         dt = S.dtype
         B, _, N = blocks[0][0].shape
         mS = jnp.mean(S, axis=-1)
@@ -2076,7 +2076,7 @@ def exp_amgi():
             axis=1)
         return S2, a2, blocks2, U2
 
-    run_variant("amgi.ln_noeinsum", {"_ln_factored": staticmethod(ln_cheap)})
+    run_variant("amgi.ln_noeinsum", {"_ln_factored": ln_cheap})
 
     # t2i P-term / a-scaling knocked out (wrong numerics, cost only)
     orig_t2i = TW._t2i_factored
@@ -2381,6 +2381,164 @@ def exp_dinol():
                                       + acc * 1e-30))
             return acc
         report(name, timed(lambda i: prog(qkv0 + i * 1e-6)), per=1)
+
+
+@exp("pemdeep")
+def exp_pemdeep():
+    """Deep itemization of the two biggest PEM stages (pembits round 5:
+    coarsesolver 15.4, finepe 16.7 of 65.9 total): knockouts on the coarse
+    solver (via compute_coarse_Rt.__wrapped__ so monkeypatches re-trace)
+    and standalone pieces of the fine positional encoding."""
+    import sam6d_tpu.pose.solvers as sol
+    from sam6d_tpu.core.config import PEMConfig
+
+    rng = np.random.RandomState(0)
+    cfg = PEMConfig()
+    B, NC, NF = 16, 196, cfg.fine_npoint
+    key = jax.random.PRNGKey(0)
+    atten = jnp.asarray(rng.rand(B, NC + 1, NC + 1).astype(np.float32))
+    sp = jnp.asarray(rng.rand(B, NC, 3).astype(np.float32))
+    mdl = jnp.asarray(
+        rng.rand(B, cfg.n_sample_model_point, 3).astype(np.float32))
+    raw = sol.compute_coarse_Rt.__wrapped__
+    cm = cfg.coarse
+
+    def run(name, patch=None, **kw):
+        saved = {k: getattr(sol, k) for k in (patch or {})}
+        for k, f in (patch or {}).items():
+            setattr(sol, k, f)
+        try:
+            f = jax.jit(lambda k_, a: jnp.sum(raw(
+                k_, a, sp, sp, mdl, cm.nproposal1, cm.nproposal2, **kw)[0]))
+            report(name, timed(
+                lambda i: f(jax.random.fold_in(key, i), atten + i * 1e-7)),
+                per=1)
+        finally:
+            for k, f_ in saved.items():
+                setattr(sol, k, f_)
+
+    run("pemdeep.coarse_full")
+    run("pemdeep.coarse_unroll", unroll_chunks=True)
+    run("pemdeep.coarse_no_dmin", patch={
+        "_chunked_min_dist_to_model":
+            lambda t, m, c, u=False: jnp.ones(t.shape[:3], t.dtype)})
+    run("pemdeep.coarse_no_multinomial", patch={
+        "multinomial_from_weights":
+            lambda k_, w, n, **kw: jnp.tile(
+                jnp.arange(n, dtype=jnp.int32) % w.shape[-1],
+                (w.shape[0], 1))})
+    run("pemdeep.coarse_no_procrustes", patch={
+        "weighted_procrustes": lambda a, b, *r, **kw: (
+            jnp.broadcast_to(jnp.eye(3, dtype=a.dtype),
+                             a.shape[:-2] + (3, 3)),
+            jnp.zeros(a.shape[:-2] + (3,), a.dtype))})
+
+    # ---- fine PE pieces (standalone, same shapes as pembits.finepe)
+    from sam6d_tpu.kernels.ball_query import two_scale_ball_query_pallas
+    from sam6d_tpu.ops.ball_query import group_points
+    fmc = cfg.fine
+    pts = jnp.asarray(rng.rand(B, NF, 3).astype(np.float32) * 0.4 - 0.2)
+    bq = jax.jit(lambda p: sum(jnp.sum(x) for x in
+                               two_scale_ball_query_pallas(
+                                   p, p, fmc.pe_radius1, fmc.pe_nsample1,
+                                   fmc.pe_radius2, fmc.pe_nsample2)))
+    report("pemdeep.fine_ballquery", timed(lambda i: bq(pts + i * 1e-6)),
+           per=1)
+
+    idx1, idx2 = two_scale_ball_query_pallas(
+        pts, pts, fmc.pe_radius1, fmc.pe_nsample1, fmc.pe_radius2,
+        fmc.pe_nsample2)
+    u = jnp.asarray(rng.rand(B, NF, 32).astype(np.float32)).astype(
+        jnp.bfloat16)
+    g = jax.jit(lambda u_: jnp.sum(group_points(u_, idx1))
+                + jnp.sum(group_points(u_, idx2)))
+    report("pemdeep.fine_gather", timed(lambda i: g(u + i * 1e-6)), per=1)
+
+    # conv+bn+relu stacks on pre-grouped tensors (the after_first cost)
+    w1_ = jnp.asarray(rng.rand(32, 64).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    w2_ = jnp.asarray(rng.rand(64, 128).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16)
+    h1 = jnp.asarray(rng.rand(B, NF, fmc.pe_nsample1, 32)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    h2 = jnp.asarray(rng.rand(B, NF, fmc.pe_nsample2, 32)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+
+    def stack(h):
+        x = jax.nn.relu(h)          # BN folds to scale+bias at eval: ~relu
+        x = jax.nn.relu(x @ w1_)
+        x = jax.nn.relu(x @ w2_)
+        return jnp.max(x, axis=2)
+
+    c = jax.jit(lambda a, b: jnp.sum(stack(a)) + jnp.sum(stack(b)))
+    report("pemdeep.fine_convs", timed(lambda i: c(h1 + i * 1e-6,
+                                                   h2 + i * 1e-6)), per=1)
+
+
+@exp("matchi")
+def exp_matchi():
+    """Itemize the match stage around the trunk (bench 144.5 vs ~124
+    trunk-only in the dinok harness): crop prep, full describe, and the
+    fused score program at capacity + 48-valid."""
+    from sam6d_tpu.core.config import ISMConfig, SAMConfig
+    from sam6d_tpu.pipelines.ism import ISMPipeline
+    from sam6d_tpu.ops.images import (masked_crop_resize_pad_nearest,
+                                      normalize_imagenet)
+
+    rng = np.random.RandomState(0)
+    P, H, W = 128, 480, 640
+    cfg = ISMConfig(sam=SAMConfig(max_proposals=P))
+    pipe = ISMPipeline(cfg, dinov2_variables="eval_shape",
+                       dtype=jnp.bfloat16)
+    d = cfg.dinov2
+    rgb01 = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(P, H, W) > 0.9).astype(np.float32))
+    boxes_np = np.zeros((P, 4), np.float32)
+    boxes_np[:, 0] = rng.randint(0, W // 2, P)
+    boxes_np[:, 1] = rng.randint(0, H // 2, P)
+    boxes_np[:, 2] = boxes_np[:, 0] + rng.randint(20, W // 2, P)
+    boxes_np[:, 3] = boxes_np[:, 1] + rng.randint(20, H // 2, P)
+    boxes = jnp.asarray(boxes_np).astype(jnp.int32)
+
+    crop_fn = jax.jit(lambda r: sum(jnp.sum(x) for x in
+                                    masked_crop_resize_pad_nearest(
+                                        normalize_imagenet(r), masks,
+                                        boxes, d.img_size)))
+    report("matchi.crops", timed(lambda i: crop_fn(rgb01 + i * 1e-7)),
+           per=1)
+
+    desc_fn = jax.jit(lambda v, r: sum(jnp.sum(x) for x in
+                                       pipe._describe_impl(v, r, masks,
+                                                           boxes)))
+    report("matchi.describe_full128",
+           timed(lambda i: desc_fn(pipe.dinov2_vars, rgb01 + i * 1e-7)),
+           per=1)
+
+    # scoring tail on random descriptors (the non-describe remainder)
+    from sam6d_tpu.models import ism_scoring
+    n_patch = (d.img_size // d.patch_size) ** 2
+    cls_d = jnp.asarray(rng.rand(P, d.embed_dim).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    patch_d = jnp.asarray(rng.rand(P, n_patch, d.embed_dim)
+                          .astype(np.float32)).astype(jnp.bfloat16)
+    ref_desc = jnp.asarray(rng.rand(1, 42, d.embed_dim).astype(np.float32))
+    ref_appe = jnp.asarray(
+        rng.rand(1, 42, n_patch, d.embed_dim).astype(np.float32))
+    valid = jnp.ones((P,), bool)
+
+    def tail(cd, pd):
+        sem = ism_scoring.semantic_scores(
+            cd, ref_desc, valid, cfg.matching.aggregation_function,
+            cfg.matching.confidence_thresh)
+        ra = ref_appe[sem["object_idx"], sem["best_template"]]
+        appe = ism_scoring.appearance_scores(pd, ra)
+        vis = ism_scoring.visible_ratio(pd, ra, cfg.matching.visible_thred)
+        return jnp.sum(sem["scores"]) + jnp.sum(appe) + jnp.sum(vis)
+
+    tail_fn = jax.jit(tail)
+    report("matchi.score_tail",
+           timed(lambda i: tail_fn(cls_d + i * 1e-6, patch_d + i * 1e-6)),
+           per=1)
 
 
 if __name__ == "__main__":
