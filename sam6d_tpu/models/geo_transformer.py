@@ -27,6 +27,36 @@ from flax import linen as nn
 from ..ops.embedding import pairwise_planar_diffs, sinusoid_phase_tables
 from ..ops.geometry import pairwise_sq_distance
 
+# Cody-Waite split of pi in fp32 + degree-9 odd minimax sine coefficients
+# (Cephes): max |fast_sin - sin| = 6.1e-7 over [-16, 16] (validated in
+# test_bf16_budget), and the reduction stays exact far beyond the geo
+# argument range (|x| <= ~15: dist/sigma_d and angle*180/(sigma_a*pi)).
+_PI_HI = 3.1415927410125732
+_PI_LO = -8.742277657347586e-08
+_SIN_C = (9.99999999919560e-1, -1.66666665687056e-1, 8.33332995332082e-3,
+          -1.98408130042292e-4, 2.70405218871699e-6)
+
+
+def _fast_sin(x):
+    """sin(x) as range reduction + odd minimax polynomial.
+
+    XLA's high-fidelity sin lowering is the single biggest cost in the
+    geo embedding on TPU: the 4 (B, N, N, 256) sinusoid tensors are ~88%
+    of its 15.8 ms at PEM shapes (probe geoi round 5: no_sin 1.8 vs full
+    15.8). The 6.1e-7 approximation error is ~4 orders of magnitude below
+    the bf16 rounding of the embedding itself; fp32 paths (reference
+    parity, training at fp32) keep jnp.sin."""
+    k = jnp.round(x * (1.0 / np.pi))
+    r = (x - k * _PI_HI) - k * _PI_LO
+    r2 = r * r
+    c1, c3, c5, c7, c9 = _SIN_C
+    p = r * (c1 + r2 * (c3 + r2 * (c5 + r2 * (c7 + r2 * c9))))
+    return p * (1.0 - 2.0 * jnp.mod(k, 2.0))
+
+
+def _sin_embed(x, dtype):
+    return _fast_sin(x) if dtype == jnp.bfloat16 else jnp.sin(x)
+
 
 class GeometricStructureEmbedding(nn.Module):
     hidden_dim: int = 256
@@ -58,8 +88,8 @@ class GeometricStructureEmbedding(nn.Module):
         proj_a = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_a")
 
         div_d, phase = sinusoid_phase_tables(self.hidden_dim, 1.0 / self.sigma_d)
-        out = proj_d(jnp.sin(dist[..., None] * div_d + phase)
-                     .astype(self.dtype))
+        out = proj_d(_sin_embed(dist[..., None] * div_d + phase,
+                                self.dtype).astype(self.dtype))
 
         # k nearest neighbors excluding self (reference knn with k+1, drop 0).
         # The DISCRETE selection uses the reference's matmul-form pairwise
@@ -94,8 +124,8 @@ class GeometricStructureEmbedding(nn.Module):
             # the reference's sum-reduction (+0 accumulator) yields 0
             cos_v = rxe * ax + rye * ay + rze * az + 0.0
             ang = jnp.arctan2(sin_v, cos_v)  # (B, N, N)
-            p = proj_a(jnp.sin(ang[..., None] * div_a + phase)
-                       .astype(self.dtype))
+            p = proj_a(_sin_embed(ang[..., None] * div_a + phase,
+                                  self.dtype).astype(self.dtype))
             if a_out is None:
                 a_out = p
             elif self.reduction_a == "max":

@@ -39,16 +39,13 @@ def soft_assignment(atten: jnp.ndarray):
     return score, w1, w2, label1, label2
 
 
-def _chunked_min_dist_to_model(transformed, model_pts, chunk: int,
-                               unroll: bool = False):
+def _chunked_min_dist_to_model(transformed, model_pts, chunk: int):
     """transformed: (B, P, N1, 3), model_pts: (B, M, 3) ->
     min-dist (B, P, N1), computed in proposal chunks to bound memory.
 
-    `unroll` replaces the lax.map with a Python-unrolled chunk loop: a
-    scan body coexisting with the surrounding (P, ...) top_k / gather ops
-    drops the whole program into XLA's slow mid-trip-count loop mode
-    (PERFORMANCE.md round 3, probe amgy — same pathology as the AMG chunk
-    loops)."""
+    (A Python-unrolled chunk loop was measured NEUTRAL here — 11.4 vs
+    11.2 ms full-solver, probe pemdeep round 5 — unlike the AMG chunk
+    loops, so the scan stays.)"""
     B, P, N1, _ = transformed.shape
     chunk = min(chunk, P)
     if P % chunk:  # pad P to a chunk multiple (small configs); crop after
@@ -56,7 +53,7 @@ def _chunked_min_dist_to_model(transformed, model_pts, chunk: int,
         transformed = jnp.concatenate(
             [transformed, transformed[:, :pad]], axis=1)
         return _chunked_min_dist_to_model(
-            transformed, model_pts, chunk, unroll)[:, :P]
+            transformed, model_pts, chunk)[:, :P]
 
     def one_chunk(start):
         sl = jax.lax.dynamic_slice_in_dim(transformed, start, chunk, axis=1)
@@ -65,16 +62,12 @@ def _chunked_min_dist_to_model(transformed, model_pts, chunk: int,
         )  # (B, chunk*N1, M)
         return jnp.sqrt(jnp.min(d2, axis=-1)).reshape(B, chunk, N1)
 
-    if unroll:
-        outs = [one_chunk(jnp.int32(s)) for s in range(0, P, chunk)]
-        return jnp.concatenate(outs, axis=1)
     starts = jnp.arange(0, P, chunk)
     outs = jax.lax.map(one_chunk, starts)  # (P//chunk, B, chunk, N1)
     return jnp.moveaxis(outs, 0, 1).reshape(B, P, N1)
 
 
-@partial(jax.jit, static_argnames=("n_proposal1", "n_proposal2",
-                                  "dist_chunk", "unroll_chunks"))
+@partial(jax.jit, static_argnames=("n_proposal1", "n_proposal2", "dist_chunk"))
 def compute_coarse_Rt(
     key: jax.Array,
     atten: jnp.ndarray,
@@ -84,7 +77,6 @@ def compute_coarse_Rt(
     n_proposal1: int = 6000,
     n_proposal2: int = 300,
     dist_chunk: int = 30,
-    unroll_chunks: bool = False,
 ):
     """Initial pose from the coarse assignment.
 
@@ -122,8 +114,7 @@ def compute_coarse_Rt(
     transformed = inverse_transform_points(
         pts1[:, None, :, :], Rs, ts
     )  # (B, P2, N1, 3)
-    dmin = _chunked_min_dist_to_model(transformed, model_pts, dist_chunk,
-                                      unroll_chunks)
+    dmin = _chunked_min_dist_to_model(transformed, model_pts, dist_chunk)
     scores = jnp.sum(w1, axis=1)[:, None] / (
         jnp.sum(dmin * w1[:, None, :], axis=2) + 1e-8
     )  # (B, P2)

@@ -1417,6 +1417,21 @@ def exp_seg():
             report("seg.enc_only_scan",
                    timed(lambda i: enc(seg.vars, canvas_j + i * 1e-6)),
                    per=1)
+        if prefix == 1.0:
+            # exact-score decode with factored keys + kernels: round-2
+            # measured factored LOSING 6.7 vs 6.1 ms/chunk pre-kernels —
+            # re-decide now that the factored machinery is kernel-backed
+            from sam6d_tpu.models.sam import MaskDecoder
+            import jax as _jax
+            seg.mask_decoder = MaskDecoder(
+                transformer_dim=cfg.prompt_embed_dim, block_layout=True,
+                block_masks=True, factored_keys=True,
+                factored_kernel=(_jax.default_backend() == "tpu"),
+                dtype=jnp.bfloat16)
+            prog_f = jax.jit(run)
+            report("seg.fused_prefix128_factored_decode",
+                   timed(lambda i: prog_f(seg.vars, canvas_j + i * 1e-6)),
+                   per=1)
 
 
 # ---------------------------------------------------------------------- match
@@ -2418,7 +2433,6 @@ def exp_pemdeep():
                 setattr(sol, k, f_)
 
     run("pemdeep.coarse_full")
-    run("pemdeep.coarse_unroll", unroll_chunks=True)
     run("pemdeep.coarse_no_dmin", patch={
         "_chunked_min_dist_to_model":
             lambda t, m, c, u=False: jnp.ones(t.shape[:3], t.dtype)})
@@ -2533,11 +2547,152 @@ def exp_matchi():
         ra = ref_appe[sem["object_idx"], sem["best_template"]]
         appe = ism_scoring.appearance_scores(pd, ra)
         vis = ism_scoring.visible_ratio(pd, ra, cfg.matching.visible_thred)
-        return jnp.sum(sem["scores"]) + jnp.sum(appe) + jnp.sum(vis)
+        return jnp.sum(sem["score"]) + jnp.sum(appe) + jnp.sum(vis)
 
     tail_fn = jax.jit(tail)
     report("matchi.score_tail",
            timed(lambda i: tail_fn(cls_d + i * 1e-6, patch_d + i * 1e-6)),
+           per=1)
+
+
+@exp("geoi")
+def exp_geoi():
+    """Geo-embedding (pembits.geo 15.3 ms) attribution: is it the ~636M
+    VPU sin evaluations (4 x (B, 197, 197, 256) sinusoid tensors), the
+    projections, or the knn/pairwise plumbing? Knockouts via jnp.sin
+    monkeypatch (wrong numerics, cost only)."""
+    import sam6d_tpu.models.geo_transformer as gt
+    from sam6d_tpu.models.geo_transformer import GeometricStructureEmbedding
+
+    rng = np.random.RandomState(0)
+    B, N = 16, 197
+    mod = GeometricStructureEmbedding(hidden_dim=256, dtype=jnp.bfloat16)
+    pts = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 0.4 - 0.2)
+    v = init_like(lambda: mod.init(jax.random.PRNGKey(0), pts))
+
+    def run(name):
+        f = jax.jit(lambda v_, p: jnp.sum(mod.apply(v_, p)))
+        report(name, timed(lambda i: f(v, pts + i * 1e-6)), per=1)
+
+    run("geoi.full")
+    saved_sin = jnp.sin
+    saved_atan2 = jnp.arctan2
+    try:
+        jnp.sin = lambda x: x * 0.5  # cost-only: kill the transcendental
+        run("geoi.no_sin")
+        jnp.sin = saved_sin
+        jnp.arctan2 = lambda a, b: a * 0.25
+        run("geoi.no_atan2")
+    finally:
+        jnp.sin = saved_sin
+        jnp.arctan2 = saved_atan2
+
+
+@exp("enci")
+def exp_enci():
+    """SAM encoder itemization (58.0 ms vs 27.8 GEMM floor): where do the
+    ~30 ms go — windowed attention (flash-relpos kernel vs einsum vs a
+    no-relpos token-layout bound), window (un)partition, or the global
+    blocks? ViT-H shapes: 28 windowed blocks (25 windows x 196 tokens x
+    1280) + 4 global (4096 tokens), 16 heads, hd 80."""
+    from sam6d_tpu.kernels.flash_attention import (flash_attention_relpos,
+                                                   fused_attention_qkv)
+    from sam6d_tpu.models.sam import (window_partition, window_unpartition,
+                                      _rel_pos_bias)
+
+    rng = np.random.RandomState(0)
+    C, heads, ws, g = 1280, 16, 14, 64
+    hd = C // heads
+    nW = 25
+    scale = float(hd) ** -0.5
+    mkb = lambda *sh: jnp.asarray(
+        rng.rand(*sh).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    xw = mkb(nW, ws * ws, C)         # windowed tokens
+    xg = mkb(1, g * g, C)            # global tokens
+    wqkv = mkb(C, 3 * C)
+    wproj = mkb(C, C)
+    w1 = mkb(C, 4 * C)
+    w2 = mkb(4 * C, C)
+    rh_w = mkb(2 * ws - 1, hd).astype(jnp.float32)
+    rw_w = rh_w
+    rh_g = mkb(2 * g - 1, hd).astype(jnp.float32)
+
+    def gemms(x, n):
+        acc = jnp.float32(0)
+        for i in range(n):
+            h = x + i * 1e-6
+            q3 = h @ wqkv
+            o = q3[..., :C] @ wproj
+            o = o + (jax.nn.relu(h @ w1) @ w2)
+            acc += jnp.sum(o)
+        return acc
+    f = jax.jit(lambda a, b: gemms(a, 28) + gemms(b, 4))
+    report("enci.gemm_floor", timed(lambda i: f(xw + i * 1e-6,
+                                                xg + i * 1e-6)), per=1)
+
+    def win_attn(kind):
+        def one(h, i):
+            q3 = (h + i * 1e-6) @ wqkv
+            if kind == "token_norel":  # BOUND only (no rel-pos): kernel
+                return jnp.sum(fused_attention_qkv(q3, heads, scale=scale))
+            q5 = q3.reshape(nW, ws * ws, 3, heads, hd).transpose(
+                2, 0, 3, 1, 4)
+            q, k, v = q5[0], q5[1], q5[2]
+            if kind == "flash":
+                o = flash_attention_relpos(q, k, v, rh_w, rw_w, (ws, ws))
+            else:
+                a = jnp.einsum("bhnc,bhmc->bhnm", q * scale, k)
+                a = a + _rel_pos_bias(q, rh_w, rw_w, (ws, ws)).reshape(
+                    nW, heads, ws * ws, ws * ws)
+                a = jax.nn.softmax(a, axis=-1)
+                o = jnp.einsum("bhnm,bhmc->bhnc", a, v)
+            return jnp.sum(o.transpose(0, 2, 1, 3).reshape(nW, -1, C)
+                           @ wproj)
+
+        @jax.jit
+        def prog(x):
+            acc = jnp.float32(0)
+            for i in range(28):
+                acc += one(x + acc * 1e-30, i)
+            return acc
+        return prog
+
+    for kind in ("flash", "einsum", "token_norel"):
+        prog = win_attn(kind)
+        report(f"enci.win28_{kind}", timed(lambda i: prog(xw + i * 1e-6)),
+               per=1)
+
+    def glob(kind):
+        def one(h, i):
+            q3 = (h + i * 1e-6) @ wqkv
+            q5 = q3.reshape(1, g * g, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+            o = flash_attention_relpos(q5[0], q5[1], q5[2], rh_g, rh_g,
+                                       (g, g))
+            return jnp.sum(o.transpose(0, 2, 1, 3).reshape(1, -1, C)
+                           @ wproj)
+
+        @jax.jit
+        def prog(x):
+            acc = jnp.float32(0)
+            for i in range(4):
+                acc += one(x + acc * 1e-30, i)
+            return acc
+        return prog
+    pg = glob("flash")
+    report("enci.glob4_flash", timed(lambda i: pg(xg + i * 1e-6)), per=1)
+
+    # window partition/unpartition pairs alone (28x, grid 64, pad to 70)
+    xfull = mkb(1, g, g, C)
+
+    @jax.jit
+    def part(x):
+        acc = jnp.float32(0)
+        h = x
+        for i in range(28):
+            w, pad_hw = window_partition(h + i * 1e-7, ws)
+            h = window_unpartition(w, ws, pad_hw, (g, g))
+        return jnp.sum(h)
+    report("enci.partition28", timed(lambda i: part(xfull + i * 1e-6)),
            per=1)
 
 

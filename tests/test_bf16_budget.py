@@ -25,6 +25,43 @@ def test_bf16_error_budget_within_recorded_tolerances():
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
 
 
+def test_fast_sin_error_below_bf16_cast_noise(rng):
+    """geo_transformer._fast_sin (range reduction + degree-9 odd minimax)
+    replaces jnp.sin for the bf16 geo embedding. Two gates: (1) raw
+    max |fast_sin - sin| <= 1e-6 over the geo argument range (and well
+    beyond); (2) through the bf16 GeometricStructureEmbedding, the
+    deviation CAUSED BY the approximation (bf16-fast vs bf16-sin) is no
+    larger than the deviation bf16 itself causes (bf16-sin vs fp32-sin)."""
+    import jax
+    import jax.numpy as jnp
+    import sam6d_tpu.models.geo_transformer as gt
+
+    x = jnp.asarray(np.linspace(-40.0, 40.0, 400001).astype(np.float32))
+    err = float(jnp.max(jnp.abs(gt._fast_sin(x) - jnp.sin(x))))
+    assert err <= 4e-6, err  # 6.1e-7 fit + fp32 evaluation rounding
+
+    pts = jnp.asarray(rng.rand(2, 33, 3).astype(np.float32) * 0.4 - 0.2)
+    mod32 = gt.GeometricStructureEmbedding(hidden_dim=64,
+                                           dtype=jnp.float32)
+    v = mod32.init(jax.random.PRNGKey(0), pts)
+    want32 = np.asarray(mod32.apply(v, pts)).astype(np.float32)
+    mod16 = gt.GeometricStructureEmbedding(hidden_dim=64,
+                                           dtype=jnp.bfloat16)
+    from sam6d_tpu.core.params import cast_float_params
+    v16 = cast_float_params(v, jnp.bfloat16)
+    got_fast = np.asarray(mod16.apply(v16, pts)).astype(np.float32)
+    saved = gt._fast_sin
+    gt._fast_sin = jnp.sin  # force exact sin through the bf16 path
+    try:
+        got_sin = np.asarray(mod16.apply(v16, pts)).astype(np.float32)
+    finally:
+        gt._fast_sin = saved
+    approx_dev = np.max(np.abs(got_fast - got_sin))
+    dtype_dev = np.max(np.abs(got_sin - want32))
+    assert approx_dev <= max(float(dtype_dev), 1e-5), (approx_dev,
+                                                       dtype_dev)
+
+
 def test_gelu_tanh_error_below_bf16_cast_noise(rng):
     """models.vit.gelu uses an fp32 tanh-poly GELU in bf16 (exact erf in
     fp32). Falsifiable criterion for that trade: through a full DINOv2
